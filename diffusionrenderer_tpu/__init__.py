@@ -1,0 +1,24 @@
+"""diffusionrenderer_tpu — TPU-native NVIDIA Cosmos DiffusionRenderer.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+eggsbenedicto/DiffusionRenderer-ComfyUI reference package: inverse rendering
+(RGB video -> G-buffers) and forward rendering / relighting (G-buffers + HDR
+environment -> RGB video) with the 7B GeneralDIT video diffusion transformer
+and the Cosmos CV8x8x8 causal video tokenizer.
+"""
+
+from .config import (
+    GBUFFER_INDEX_MAPPING,
+    DiTConfig,
+    RendererConfig,
+    SchedulerConfig,
+    VAEConfig,
+    get_config_by_model_type,
+    get_config_from_tensor_shape,
+    get_forward_renderer_config,
+    get_inverse_renderer_config,
+    get_preset_config,
+    validate_config,
+)
+
+__version__ = "0.1.0"
