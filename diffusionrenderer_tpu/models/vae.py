@@ -1,0 +1,495 @@
+"""Cosmos-1.0-Tokenizer-CV8x8x8 — causal 3D video VAE in JAX.
+
+The reference consumes this model through diffusers' AutoencoderKLCosmos
+(/root/reference/CleanVAE.py:18); here the architecture is rebuilt from the
+shipped config (/root/reference/VAE_config.json) as a TPU-native
+channels-last (B, T, H, W, C) network:
+
+* 3D Haar wavelet patching, patch_size 4 = two causal Haar levels
+  (VAE_config.json:539-540), giving 4x4x4 compression before any conv;
+* causal temporal convolutions: time axis front-padded with the replicated
+  first frame so frame t never sees frames > t;
+* encoder channels 128/256/512/512, decoder 256/512/512/512, 2 res layers
+  per level (VAE_config.json:7-18,536);
+* one additional spatial + temporal downsample (8x total = 4x patch * 2x),
+  matching spatial/temporal_compression_ratio 8 (VAE_config.json:542-544);
+* mid block: resnet - spatial attention - causal temporal attention - resnet;
+* per-(channel, latent-frame) latent mean/std normalization vectors — 256
+  entries = 16 channels x 16 frames (VAE_config.json:21-535);
+* encode is DETERMINISTIC: the diffusers class wraps the encoder output in an
+  identity distribution whose .sample() returns the tensor itself, so the
+  reference's latent_dist.sample() (CleanVAE.py:51) draws no noise.
+
+Frame math matches CleanVAE.py:34-42: T_latent = (T-1)//8 + 1, single frames
+stay single frames (every temporal stage maps T -> (T-1)//2 + 1 causally).
+
+The conv stack runs under XLA's native conv lowering (which maps 3D convs
+onto the MXU); the Haar transform is pure adds/reshapes that XLA fuses.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VAEConfig
+
+Params = Dict[str, Any]
+
+_SQRT2 = math.sqrt(2.0)
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet patcher (causal)
+# ---------------------------------------------------------------------------
+
+def _haar_level(x: jax.Array) -> jax.Array:
+    """One causal orthonormal 3D Haar level.
+
+    (B, T, H, W, C) -> (B, (T-1)//2+1, H/2, W/2, 8C), subband-major channel
+    layout ordered (LLL, LLH, LHL, LHH, HLL, HLH, HHL, HHH) with letters in
+    (t, h, w) axis order, L=low/H=high.
+    """
+    b, t, h, w, c = x.shape
+    if t % 2 == 1:
+        # Causal: replicate the first frame so the leading pair is (x0, x0);
+        # its high band is exactly zero and the low band is sqrt(2)*x0.
+        x = jnp.concatenate([x[:, :1], x], axis=1)
+        t = t + 1
+
+    # Pairwise split along each axis.
+    x = x.reshape(b, t // 2, 2, h // 2, 2, w // 2, 2, c)
+    lo = lambda a, ax: (a.take(0, ax) + a.take(1, ax)) / _SQRT2
+    hi = lambda a, ax: (a.take(0, ax) - a.take(1, ax)) / _SQRT2
+
+    subbands = []
+    for ft in (lo, hi):
+        xt = ft(x, 2)  # (b, T2, h2, 2, w2, 2, c)
+        for fh in (lo, hi):
+            xh = fh(xt, 3)  # (b, T2, h2, w2, 2, c)
+            for fw in (lo, hi):
+                subbands.append(fw(xh, 4))  # (b, T2, h2, w2, c)
+    return jnp.concatenate(subbands, axis=-1)
+
+
+def _haar_level_inverse(x: jax.Array, orig_t_odd: bool) -> jax.Array:
+    """Inverse of _haar_level.  x: (B, T2, H2, W2, 8C) -> (B, T, H, W, C)."""
+    b, t2, h2, w2, c8 = x.shape
+    c = c8 // 8
+    sb = [x[..., i * c : (i + 1) * c] for i in range(8)]
+
+    def merge(lo_b, hi_b, axis_len_pos):
+        even = (lo_b + hi_b) / _SQRT2
+        odd = (lo_b - hi_b) / _SQRT2
+        return even, odd
+
+    # Invert along w first (innermost application order does not matter for
+    # orthogonal transforms as long as it mirrors the forward).
+    def un_w(lo_b, hi_b):
+        even, odd = merge(lo_b, hi_b, None)
+        out = jnp.stack([even, odd], axis=4)  # (b,t2,h2,w2,2,c)
+        return out.reshape(b, t2, h2, w2 * 2, c)
+
+    def un_h(lo_b, hi_b):
+        even, odd = merge(lo_b, hi_b, None)
+        out = jnp.stack([even, odd], axis=3)
+        return out.reshape(b, t2, h2 * 2, *lo_b.shape[3:])
+
+    def un_t(lo_b, hi_b):
+        even, odd = merge(lo_b, hi_b, None)
+        out = jnp.stack([even, odd], axis=2)
+        return out.reshape(b, t2 * 2, *lo_b.shape[2:])
+
+    ll = un_w(sb[0], sb[1])
+    lh = un_w(sb[2], sb[3])
+    hl = un_w(sb[4], sb[5])
+    hh = un_w(sb[6], sb[7])
+    l = un_h(ll, lh)
+    hgh = un_h(hl, hh)
+    full = un_t(l, hgh)  # (b, 2*t2, h, w, c)
+    if orig_t_odd:
+        full = full[:, 1:]  # drop the replicated causal frame
+    return full
+
+
+def haar_patch(x: jax.Array, levels: int) -> jax.Array:
+    for _ in range(levels):
+        x = _haar_level(x)
+    return x
+
+
+def haar_unpatch(x: jax.Array, levels: int, orig_t: int) -> jax.Array:
+    """Inverse recursive Haar; orig_t is the pixel frame count to restore."""
+    # Track the frame counts the forward pass saw at each level.
+    ts = [orig_t]
+    for _ in range(levels):
+        ts.append((ts[-1] - 1) // 2 + 1 if ts[-1] % 2 == 1 else ts[-1] // 2)
+    for lvl in reversed(range(levels)):
+        x = _haar_level_inverse(x, orig_t_odd=(ts[lvl] % 2 == 1))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers (channels-last)
+# ---------------------------------------------------------------------------
+
+def causal_conv3d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array],
+    stride: Sequence[int] = (1, 1, 1),
+    spatial_pad: Optional[str] = "same",
+) -> jax.Array:
+    """3D conv, causal in time: front-pad (kt-1) replicated first frames.
+
+    x: (B, T, H, W, Cin); w: (kt, kh, kw, Cin, Cout) [DHWIO].
+    spatial_pad: 'same' pads kh//2 / kw//2 both sides; 'down' pads (0,1)
+    asymmetrically for stride-2 halving.
+    """
+    kt, kh, kw = w.shape[:3]
+    if kt > 1:
+        front = jnp.repeat(x[:, :1], kt - 1, axis=1)
+        x = jnp.concatenate([front, x], axis=1)
+    if spatial_pad == "same":
+        pads = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    elif spatial_pad == "down":
+        pads = [(0, max(kh - 1, 0) and 1), (0, max(kw - 1, 0) and 1)]
+    else:
+        pads = [(0, 0), (0, 0)]
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=tuple(stride),
+        padding=[(0, 0), pads[0], pads[1]],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def group_norm_per_frame(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6
+) -> jax.Array:
+    """GroupNorm(num_groups=1) over (H, W, C) independently per frame —
+    per-frame statistics keep the network causal in time."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(2, 3, 4), keepdims=True)
+    var = jnp.var(xf, axis=(2, 3, 4), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(orig_dtype)
+
+
+def _resblock(x: jax.Array, p: Params) -> jax.Array:
+    h = group_norm_per_frame(x, p["norm1"]["scale"], p["norm1"]["bias"])
+    h = jax.nn.silu(h)
+    h = causal_conv3d(h, p["conv1"]["w"], p["conv1"]["b"])
+    h = group_norm_per_frame(h, p["norm2"]["scale"], p["norm2"]["bias"])
+    h = jax.nn.silu(h)
+    h = causal_conv3d(h, p["conv2"]["w"], p["conv2"]["b"])
+    skip = x
+    if "shortcut" in p:
+        skip = causal_conv3d(x, p["shortcut"]["w"], p["shortcut"]["b"])
+    return skip + h
+
+
+def _attn_spatial(x: jax.Array, p: Params) -> jax.Array:
+    """Single-head self-attention over (H*W) per frame."""
+    b, t, h, w, c = x.shape
+    y = group_norm_per_frame(x, p["norm"]["scale"], p["norm"]["bias"])
+    y = y.reshape(b * t, h * w, c)
+    q = y @ p["wq"]["w"] + p["wq"]["b"]
+    k = y @ p["wk"]["w"] + p["wk"]["b"]
+    v = y @ p["wv"]["w"] + p["wv"]["b"]
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(c)
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkc->bqc", attn, v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o @ p["wo"]["w"] + p["wo"]["b"]
+    return x + o.reshape(b, t, h, w, c)
+
+
+def _attn_temporal(x: jax.Array, p: Params) -> jax.Array:
+    """Single-head CAUSAL self-attention over T per spatial location."""
+    b, t, h, w, c = x.shape
+    y = group_norm_per_frame(x, p["norm"]["scale"], p["norm"]["bias"])
+    y = y.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+    q = y @ p["wq"]["w"] + p["wq"]["b"]
+    k = y @ p["wk"]["w"] + p["wk"]["b"]
+    v = y @ p["wv"]["w"] + p["wv"]["b"]
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(c)
+    mask = jnp.tril(jnp.ones((t, t), bool))
+    logits = jnp.where(mask[None], logits, -1e30)
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkc->bqc", attn, v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o @ p["wo"]["w"] + p["wo"]["b"]
+    o = o.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+    return x + o
+
+
+def _downsample(x: jax.Array, p: Params) -> jax.Array:
+    """Spatial (1,3,3)/s(1,2,2) then temporal causal (3,1,1)/s(2,1,1)."""
+    x = causal_conv3d(x, p["conv_s"]["w"], p["conv_s"]["b"],
+                      stride=(1, 2, 2), spatial_pad="down")
+    x = causal_conv3d(x, p["conv_t"]["w"], p["conv_t"]["b"],
+                      stride=(2, 1, 1), spatial_pad="none")
+    return x
+
+
+def _upsample(x: jax.Array, p: Params) -> jax.Array:
+    """Temporal causal x2 (T -> 2T-1) then spatial nearest x2, each + conv."""
+    # Temporal: interleave-duplicate then drop the leading frame.
+    x = jnp.repeat(x, 2, axis=1)[:, 1:]
+    x = causal_conv3d(x, p["conv_t"]["w"], p["conv_t"]["b"],
+                      spatial_pad="none")
+    # Spatial nearest-neighbor.
+    b, t, h, w, c = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    x = causal_conv3d(x, p["conv_s"]["w"], p["conv_s"]["b"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+def _conv_p(key, kt, kh, kw, cin, cout, dtype):
+    fan_in = kt * kh * kw * cin
+    w = jax.random.normal(key, (kt, kh, kw, cin, cout), jnp.float32)
+    w = (w / math.sqrt(fan_in)).astype(dtype)
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}
+
+
+def _norm_p(c, dtype):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _res_p(key, cin, cout, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": _norm_p(cin, dtype),
+        "conv1": _conv_p(k1, 3, 3, 3, cin, cout, dtype),
+        "norm2": _norm_p(cout, dtype),
+        "conv2": _conv_p(k2, 3, 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["shortcut"] = _conv_p(k3, 1, 1, 1, cin, cout, dtype)
+    return p
+
+
+def _attn_p(key, c, dtype):
+    ks = jax.random.split(key, 4)
+    def dense(k):
+        w = jax.random.normal(k, (c, c), jnp.float32) / math.sqrt(c)
+        return {"w": w.astype(dtype), "b": jnp.zeros((c,), dtype)}
+    return {
+        "norm": _norm_p(c, dtype),
+        "wq": dense(ks[0]),
+        "wk": dense(ks[1]),
+        "wv": dense(ks[2]),
+        "wo": dense(ks[3]),
+    }
+
+
+def init_vae_params(
+    key: jax.Array, cfg: VAEConfig, dtype: jnp.dtype = jnp.bfloat16
+) -> Params:
+    levels = int(math.log2(cfg.patch_size))
+    patched_ch = cfg.in_channels * 8**levels
+    enc_ch = cfg.encoder_block_out_channels
+    dec_ch = cfg.decode_block_out_channels
+    keys = iter(jax.random.split(key, 256))
+    nk = lambda: next(keys)
+
+    num_downs = int(math.log2(cfg.spatial_compression_ratio)) - levels  # = 1
+
+    # Encoder levels: enc_ch[i] -> enc_ch[i+1].
+    enc_levels: List[Params] = []
+    for i in range(len(enc_ch) - 1):
+        blocks = [_res_p(nk(), enc_ch[i], enc_ch[i + 1], dtype)]
+        for _ in range(cfg.num_layers - 1):
+            blocks.append(_res_p(nk(), enc_ch[i + 1], enc_ch[i + 1], dtype))
+        level: Params = {"resblocks": blocks}
+        if i < num_downs:
+            level["downsample"] = {
+                "conv_s": _conv_p(nk(), 1, 3, 3, enc_ch[i + 1], enc_ch[i + 1], dtype),
+                "conv_t": _conv_p(nk(), 3, 1, 1, enc_ch[i + 1], enc_ch[i + 1], dtype),
+            }
+        enc_levels.append(level)
+
+    mid_e = {
+        "res1": _res_p(nk(), enc_ch[-1], enc_ch[-1], dtype),
+        "attn_s": _attn_p(nk(), enc_ch[-1], dtype),
+        "attn_t": _attn_p(nk(), enc_ch[-1], dtype),
+        "res2": _res_p(nk(), enc_ch[-1], enc_ch[-1], dtype),
+    }
+
+    # Decoder levels, deepest first: dec_ch reversed pairwise.
+    dch = list(reversed(dec_ch))  # e.g. (512, 512, 512, 256)
+    dec_levels: List[Params] = []
+    for i in range(len(dch) - 1):
+        blocks = [_res_p(nk(), dch[i], dch[i + 1], dtype)]
+        for _ in range(cfg.num_layers):  # decoder uses num_layers+1 blocks
+            blocks.append(_res_p(nk(), dch[i + 1], dch[i + 1], dtype))
+        level: Params = {"resblocks": blocks}
+        # Mirror the encoder: the single up happens before the last level.
+        if i == len(dch) - 2:
+            level["upsample"] = {
+                "conv_t": _conv_p(nk(), 3, 1, 1, dch[i], dch[i], dtype),
+                "conv_s": _conv_p(nk(), 1, 3, 3, dch[i], dch[i], dtype),
+            }
+        dec_levels.append(level)
+
+    mid_d = {
+        "res1": _res_p(nk(), dch[0], dch[0], dtype),
+        "attn_s": _attn_p(nk(), dch[0], dtype),
+        "attn_t": _attn_p(nk(), dch[0], dtype),
+        "res2": _res_p(nk(), dch[0], dch[0], dtype),
+    }
+
+    return {
+        "encoder": {
+            "conv_in": _conv_p(nk(), 3, 3, 3, patched_ch, enc_ch[0], dtype),
+            "levels": enc_levels,
+            "mid": mid_e,
+            "norm_out": _norm_p(enc_ch[-1], dtype),
+            "conv_out": _conv_p(nk(), 3, 3, 3, enc_ch[-1], cfg.latent_channels, dtype),
+        },
+        "decoder": {
+            "conv_in": _conv_p(nk(), 3, 3, 3, cfg.latent_channels, dch[0], dtype),
+            "mid": mid_d,
+            "levels": dec_levels,
+            "norm_out": _norm_p(dch[-1], dtype),
+            "conv_out": _conv_p(
+                nk(), 3, 3, 3, dch[-1], cfg.out_channels * 8**levels, dtype
+            ),
+        },
+        # Per-(channel, latent-frame) statistics (VAE_config.json:21-535),
+        # identity by default; loaded from the shipped config in production.
+        "latents_mean": jnp.zeros(
+            (cfg.latent_channels, cfg.max_latent_frames), jnp.float32
+        ),
+        "latents_std": jnp.ones(
+            (cfg.latent_channels, cfg.max_latent_frames), jnp.float32
+        ),
+    }
+
+
+def load_latent_stats(params: Params, latents_mean, latents_std,
+                      cfg: VAEConfig) -> Params:
+    """Install the 256-entry latents_mean/std vectors from VAE_config.json.
+
+    The flat vectors are (C * F) with channel-major layout reshaped to
+    (C, F) — 16 channels x 16 max latent frames."""
+    mean = np.asarray(latents_mean, np.float32).reshape(
+        cfg.latent_channels, cfg.max_latent_frames
+    )
+    std = np.asarray(latents_std, np.float32).reshape(
+        cfg.latent_channels, cfg.max_latent_frames
+    )
+    out = dict(params)
+    out["latents_mean"] = jnp.asarray(mean)
+    out["latents_std"] = jnp.asarray(std)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+def vae_encode(params: Params, x: jax.Array, cfg: VAEConfig) -> jax.Array:
+    """(B, T, H, W, 3) -> normalized latent (B, T', H/8, W/8, 16).
+
+    Deterministic (identity posterior, see module docstring)."""
+    levels = int(math.log2(cfg.patch_size))
+    enc = params["encoder"]
+    h = haar_patch(x, levels)
+    h = causal_conv3d(h, enc["conv_in"]["w"], enc["conv_in"]["b"])
+    for level in enc["levels"]:
+        for rb in level["resblocks"]:
+            h = _resblock(h, rb)
+        if "downsample" in level:
+            h = _downsample(h, level["downsample"])
+    mid = enc["mid"]
+    h = _resblock(h, mid["res1"])
+    h = _attn_spatial(h, mid["attn_s"])
+    h = _attn_temporal(h, mid["attn_t"])
+    h = _resblock(h, mid["res2"])
+    h = group_norm_per_frame(h, enc["norm_out"]["scale"], enc["norm_out"]["bias"])
+    h = jax.nn.silu(h)
+    z = causal_conv3d(h, enc["conv_out"]["w"], enc["conv_out"]["b"])
+
+    # Normalize by per-(channel, frame) stats, broadcast over H, W.
+    t_lat = z.shape[1]
+    mean = params["latents_mean"][:, :t_lat].T[None, :, None, None, :]
+    std = params["latents_std"][:, :t_lat].T[None, :, None, None, :]
+    zf = (z.astype(jnp.float32) - mean) / std * cfg.scaling_factor
+    return zf.astype(z.dtype)
+
+
+def vae_decode(params: Params, z: jax.Array, cfg: VAEConfig) -> jax.Array:
+    """Normalized latent (B, T', H', W', 16) -> (B, T, 8H', 8W', 3)."""
+    levels = int(math.log2(cfg.patch_size))
+    dec = params["decoder"]
+
+    t_lat = z.shape[1]
+    mean = params["latents_mean"][:, :t_lat].T[None, :, None, None, :]
+    std = params["latents_std"][:, :t_lat].T[None, :, None, None, :]
+    z = (z.astype(jnp.float32) / cfg.scaling_factor * std + mean).astype(z.dtype)
+
+    h = causal_conv3d(z, dec["conv_in"]["w"], dec["conv_in"]["b"])
+    mid = dec["mid"]
+    h = _resblock(h, mid["res1"])
+    h = _attn_spatial(h, mid["attn_s"])
+    h = _attn_temporal(h, mid["attn_t"])
+    h = _resblock(h, mid["res2"])
+    for level in dec["levels"]:
+        if "upsample" in level:
+            h = _upsample(h, level["upsample"])
+        for rb in level["resblocks"]:
+            h = _resblock(h, rb)
+    h = group_norm_per_frame(h, dec["norm_out"]["scale"], dec["norm_out"]["bias"])
+    h = jax.nn.silu(h)
+    h = causal_conv3d(h, dec["conv_out"]["w"], dec["conv_out"]["b"])
+
+    pixel_t = cfg.pixel_num_frames(t_lat)
+    return haar_unpatch(h, levels, pixel_t)
+
+
+def vae_encode_chunked(
+    params: Params, x: jax.Array, cfg: VAEConfig, max_batch: int = 8
+) -> jax.Array:
+    """Micro-batched encode to bound peak memory, the TPU equivalent of the
+    reference's max_enc_batch_size chunking (ref: pretrained_vae.py:385-403)."""
+    b = x.shape[0]
+    if b <= max_batch:
+        return vae_encode(params, x, cfg)
+    outs = [
+        vae_encode(params, x[i : i + max_batch], cfg)
+        for i in range(0, b, max_batch)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
+def vae_decode_chunked(
+    params: Params, z: jax.Array, cfg: VAEConfig, max_batch: int = 4
+) -> jax.Array:
+    """(ref: pretrained_vae.py:405-421, max_dec_batch_size=4)"""
+    b = z.shape[0]
+    if b <= max_batch:
+        return vae_decode(params, z, cfg)
+    outs = [
+        vae_decode(params, z[i : i + max_batch], cfg)
+        for i in range(0, b, max_batch)
+    ]
+    return jnp.concatenate(outs, axis=0)
