@@ -1,0 +1,228 @@
+"""High-level API — the framework's equivalent of the ComfyUI node surface.
+
+The reference exposes four nodes (/root/reference/nodes.py:335-340):
+LoadDiffusionRendererModel, Cosmos1InverseRenderer, Cosmos1ForwardRenderer,
+LoadHDRImage.  Here each is a plain function:
+
+    load_pipeline(...)   -> DiffusionRendererPipeline
+    inverse_render(...)  -> {basecolor, metallic, roughness, normal, depth}
+    forward_render(...)  -> relit RGB video
+    load_hdr(path)       -> float HDR image
+
+Image convention matches ComfyUI: float arrays in [0, 1], channels last.
+3D (H,W,C) / 4D (B,H,W,C) / 5D (B,T,H,W,C) inputs are coerced like the
+reference nodes (ref: nodes.py:154-179).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GBUFFER_INDEX_MAPPING, DiTConfig, VAEConfig
+from .envmap import (
+    latlong_vec,
+    render_projection_from_panorama,
+    tonemap_image_direct,
+)
+from .io import load_hdr_image
+from .models.dit import init_dit_params
+from .models.vae import init_vae_params, load_latent_stats
+from .pipeline import DiffusionRendererPipeline
+from .utils.layout import to_5d_video
+
+INVERSE_PASSES = ("basecolor", "metallic", "roughness", "normal", "depth")
+
+
+def load_pipeline(
+    dit_checkpoint: Optional[str] = None,
+    vae_checkpoint: Optional[str] = None,
+    model_type: str = "inverse",
+    guidance: float = 0.0,
+    num_steps: int = 15,
+    seed: int = 42,
+    dtype: jnp.dtype = jnp.bfloat16,
+    compute_dtype: str = "bfloat16",
+    vae_config_json: Optional[str] = None,
+) -> DiffusionRendererPipeline:
+    """Build a pipeline (LoadDiffusionRendererModel equivalent,
+    ref: nodes.py:61-127; defaults guidance=0.0 / num_steps=15 / seed=42
+    match nodes.py:123-125).
+
+    With checkpoint paths: loads + converts the torch weights.  Without:
+    random-initialized weights at the given model_type's architecture (for
+    testing and benchmarking).
+    """
+    from .checkpoint import load_dit_checkpoint
+
+    net_cfg = (
+        DiTConfig(additional_concat_ch=16, use_context_embedding=True)
+        if model_type == "inverse"
+        else DiTConfig(additional_concat_ch=17 * 8, use_context_embedding=False)
+    )
+    if dit_checkpoint is not None:
+        dit_params = load_dit_checkpoint(dit_checkpoint, net_cfg, dtype)
+    else:
+        dit_params = init_dit_params(jax.random.key(0), net_cfg, dtype)
+
+    vae_cfg = VAEConfig()
+    if vae_checkpoint is not None:
+        from .checkpoint_vae import load_vae_checkpoint
+
+        vae_params = load_vae_checkpoint(vae_checkpoint, vae_cfg, dtype)
+    else:
+        vae_params = init_vae_params(jax.random.key(1), vae_cfg, dtype)
+    if vae_config_json is not None:
+        import json
+
+        with open(vae_config_json) as f:
+            vc = json.load(f)
+        vae_params = load_latent_stats(
+            vae_params, vc["latents_mean"], vc["latents_std"], vae_cfg
+        )
+
+    return DiffusionRendererPipeline(
+        dit_params,
+        vae_params,
+        model_type=model_type,
+        guidance=guidance,
+        num_steps=num_steps,
+        seed=seed,
+        compute_dtype=compute_dtype,
+    )
+
+
+def inverse_render(
+    pipeline: DiffusionRendererPipeline,
+    image,
+    guidance: float = 0.0,
+    seed: int = 42,
+    passes: Sequence[str] = INVERSE_PASSES,
+    batch_passes: bool = True,
+) -> Dict[str, np.ndarray]:
+    """RGB video -> G-buffers (Cosmos1InverseRenderer equivalent,
+    ref: nodes.py:130-215).
+
+    batch_passes=True runs all requested G-buffer passes as ONE batched
+    diffusion (distinct context_index per batch row) — the reference loops
+    them serially (ref: nodes.py:187-213).  Returns {pass: (B*T, H, W, C)
+    float32 in [0,1]}.
+    """
+    pipeline.set_model_type("inverse")
+    pipeline.guidance = guidance
+    pipeline.seed = seed
+
+    video = to_5d_video(np.asarray(image, np.float32))
+    video = video * 2.0 - 1.0  # [0,1] -> [-1,1] (ref: nodes.py:183)
+    b, t, h, w, c = video.shape
+
+    indices = [GBUFFER_INDEX_MAPPING[p] for p in passes]
+    outputs: Dict[str, np.ndarray] = {}
+
+    if batch_passes and len(passes) > 1:
+        n = len(passes)
+        video_n = jnp.tile(video, (n, 1, 1, 1, 1))
+        ctx = jnp.repeat(jnp.asarray(indices, jnp.int32), b)
+        normal_mask = jnp.repeat(
+            jnp.asarray([float(p == "normal") for p in passes]), b
+        )
+        out = pipeline.generate(
+            {"rgb": video_n, "video": video_n, "context_index": ctx},
+            normalize_normal=normal_mask,
+            seed=seed,
+            noise_tile=n,
+        )
+        for i, p in enumerate(passes):
+            chunk = out[i * b : (i + 1) * b].astype(np.float32) / 255.0
+            outputs[p] = chunk.reshape(b * t, h, w, c)
+    else:
+        for p in passes:
+            ctx = jnp.full((b,), GBUFFER_INDEX_MAPPING[p], jnp.int32)
+            out = pipeline.generate(
+                {"rgb": video, "video": video, "context_index": ctx},
+                normalize_normal=(p == "normal"),
+                seed=seed,
+            )
+            outputs[p] = (out.astype(np.float32) / 255.0).reshape(b * t, h, w, c)
+    return outputs
+
+
+def forward_render(
+    pipeline: DiffusionRendererPipeline,
+    depth,
+    normal,
+    roughness,
+    metallic,
+    base_color,
+    env_map,
+    guidance: float = 0.0,
+    seed: int = 42,
+    env_format: str = "proj",
+    env_brightness: float = 1.0,
+    env_flip_horizontal: bool = False,
+    env_rotation: float = 180.0,
+) -> np.ndarray:
+    """G-buffers + HDR environment -> relit RGB video
+    (Cosmos1ForwardRenderer equivalent, ref: nodes.py:218-310).
+    Returns (B*T, H, W, 3) float32 in [0,1].
+
+    env_format: 'proj' (panorama -> cubemap -> projection, reference path),
+    'proj_direct' (single-resample equirect projection), or 'ball'
+    (pre-rendered chrome ball, tonemap only).
+    """
+    pipeline.set_model_type("forward")
+    pipeline.guidance = guidance
+    pipeline.seed = seed
+
+    gbuffers = {
+        "depth": depth,
+        "normal": normal,
+        "roughness": roughness,
+        "metallic": metallic,
+        "basecolor": base_color,
+    }
+    data_batch: Dict[str, Any] = {}
+    shape = None
+    for name, g in gbuffers.items():
+        g5 = to_5d_video(np.asarray(g, np.float32))
+        data_batch[name] = jnp.asarray(g5) * 2.0 - 1.0  # (ref: nodes.py:278)
+        shape = g5.shape
+    b, t, h, w, _ = shape
+    data_batch["video"] = data_batch["depth"]  # (ref: nodes.py:281)
+
+    if env_format in ("proj", "proj_direct"):
+        env = render_projection_from_panorama(
+            env_map,
+            resolution=(h, w),
+            env_brightness=env_brightness,
+            env_flip=env_flip_horizontal,
+            env_rot=env_rotation,
+            num_frames=t,
+            mode="cubemap" if env_format == "proj" else "direct",
+        )
+    elif env_format == "ball":
+        env = tonemap_image_direct(env_map, resolution=(h, w), num_frames=t)
+    else:
+        raise ValueError(f"Unknown env_format {env_format!r}")
+
+    # env_ldr/env_log map to [-1,1]; env_nrm is the raw direction field
+    # (NOT rescaled) (ref: nodes.py:298-304).
+    env_ldr = env["env_ldr"][None] * 2.0 - 1.0  # (1, T, H, W, 3)
+    env_log = env["env_log"][None] * 2.0 - 1.0
+    env_nrm = jnp.broadcast_to(latlong_vec(h, w)[None, None], (1, t, h, w, 3))
+
+    data_batch["env_ldr"] = jnp.broadcast_to(env_ldr, (b, t, h, w, 3))
+    data_batch["env_log"] = jnp.broadcast_to(env_log, (b, t, h, w, 3))
+    data_batch["env_nrm"] = jnp.broadcast_to(env_nrm, (b, t, h, w, 3))
+
+    out = pipeline.generate(data_batch, seed=seed)
+    return (out.astype(np.float32) / 255.0).reshape(b * t, h, w, 3)
+
+
+def load_hdr(path: str) -> np.ndarray:
+    """LoadHDRImage equivalent (ref: nodes.py:312-332): (1, H, W, 3) float32,
+    values may exceed 1."""
+    return load_hdr_image(path)

@@ -1,0 +1,320 @@
+"""Pipeline orchestration: one call = one full diffusion generation.
+
+TPU-native counterpart of CleanDiffusionRendererPipeline
+(/root/reference/diffusion_renderer_pipeline.py:37-320).  Differences by
+design:
+
+* The entire generation — condition VAE-encodes, the EDM denoise scan with
+  all DiT forwards, the VAE decode, and post-processing to [0,1] — is ONE
+  jitted function per (config, shape).  The reference crosses the host
+  boundary every scheduler step; here XLA owns the whole trajectory.
+* The reference's md5-keyed config/model cache
+  (diffusion_renderer_pipeline.py:113-166) is replaced by jit's executable
+  cache keyed on the frozen RendererConfig + tensor shapes.
+* Classifier-free guidance batches (cond, uncond) into the batch axis
+  instead of running two sequential net calls
+  (ref: model_diffusion_renderer.py:230-232).
+* The batch axis is free: B>1 works (the reference hardcodes B=1 noise,
+  model_diffusion_renderer.py:222), which also lets the inverse renderer run
+  all five G-buffer passes as one B=5 batch (see api.inverse_render).
+
+Data layout: all video tensors are channels-last (B, T, H, W, C), values in
+[-1, 1] on entry (the API layer maps from [0,1] images).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    RendererConfig,
+    get_config_by_model_type,
+    validate_config,
+)
+from .models.dit import dit_forward
+from .models.vae import vae_decode, vae_encode
+from .sampling.edm import edm_sigmas, edm_step, scale_model_input
+
+# Keys searched, in order, to infer input dimensions
+# (ref: diffusion_renderer_pipeline.py:253-265).
+SHAPE_INFERENCE_KEYS = (
+    "rgb", "image", "basecolor", "normal", "depth", "roughness", "metallic",
+)
+
+
+def _prepare_latent_conditions(
+    dit_params, vae_params, cond_tensors, present, cfg: RendererConfig
+):
+    """Encode each present condition key through the VAE (x sigma_data), zeros
+    for missing keys, optional 0/1 mask channel per key; concat on channels
+    (ref: model_diffusion_renderer.py:158-197)."""
+    sd = cfg.sigma_data
+    pieces = []
+    latent = None
+    for i, key in enumerate(cfg.condition_keys):
+        if present[i]:
+            z = vae_encode(vae_params, cond_tensors[i], cfg.vae) * sd
+            latent = z
+            pieces.append(("z", z))
+            if cfg.append_condition_mask:
+                pieces.append(("ones", None))
+        else:
+            pieces.append(("zeros", None))
+            if cfg.append_condition_mask:
+                pieces.append(("zeros_mask", None))
+    assert latent is not None, "no condition tensor present"
+    b, t, h, w, c = latent.shape
+    out = []
+    for kind, z in pieces:
+        if kind == "z":
+            out.append(z)
+        elif kind == "zeros":
+            out.append(jnp.zeros((b, t, h, w, c), latent.dtype))
+        elif kind == "ones":
+            out.append(jnp.ones((b, t, h, w, 1), latent.dtype))
+        else:
+            out.append(jnp.zeros((b, t, h, w, 1), latent.dtype))
+    return jnp.concatenate(out, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_steps", "use_cfg", "present", "noise_tile"),
+)
+def _generate_jit(
+    dit_params,
+    vae_params,
+    cond_tensors: Tuple[jax.Array, ...],
+    context_index: jax.Array,
+    key: jax.Array,
+    guidance: jax.Array,
+    normal_mask: jax.Array,
+    *,
+    cfg: RendererConfig,
+    num_steps: int,
+    use_cfg: bool,
+    present: Tuple[bool, ...],
+    noise_tile: int = 1,
+):
+    """Full generation: conditions -> EDM scan -> decode -> [0,1] video."""
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    cond_tensors = tuple(
+        x.astype(compute_dtype) if x is not None else None for x in cond_tensors
+    )
+    latent_condition = _prepare_latent_conditions(
+        dit_params, vae_params, cond_tensors, present, cfg
+    )
+    b, lt, lh, lw, _ = latent_condition.shape
+    c_lat = cfg.vae.latent_channels
+
+    sigmas = edm_sigmas(num_steps, cfg.scheduler.sigma_max, cfg.scheduler.sigma_min)
+    # noise_tile > 1 replicates one noise draw across that many batch groups —
+    # the batched-5-pass inverse path then exactly reproduces the serial loop,
+    # which reseeds identically per pass (ref: model_diffusion_renderer.py:216).
+    noise = jax.random.normal(
+        key, (b // noise_tile, lt, lh, lw, c_lat), jnp.float32
+    )
+    x_init = (jnp.tile(noise, (noise_tile, 1, 1, 1, 1)) * sigmas[0]).astype(
+        compute_dtype
+    )
+
+    ctx = context_index.reshape(b).astype(jnp.int32)
+
+    if use_cfg:
+        lc2 = jnp.concatenate(
+            [latent_condition, jnp.zeros_like(latent_condition)], axis=0
+        )
+        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+
+        def denoise_fn(x_scaled, sigma):
+            x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
+            out2 = dit_forward(
+                dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
+                lc2, ctx2, cfg.net,
+            )
+            out_c, out_u = out2[:b], out2[b:]
+            # net = cond + g * (cond - uncond) (ref:
+            # model_diffusion_renderer.py:230-232)
+            g = guidance.astype(jnp.float32)
+            return (
+                out_c.astype(jnp.float32)
+                + g * (out_c.astype(jnp.float32) - out_u.astype(jnp.float32))
+            ).astype(compute_dtype)
+
+    else:
+
+        def denoise_fn(x_scaled, sigma):
+            return dit_forward(
+                dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
+                latent_condition, ctx, cfg.net,
+            )
+
+    # EDM Euler trajectory as one scan (ref: model_diffusion_renderer.py:224-235).
+    pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
+
+    def step(x, pair):
+        sigma, sigma_next = pair[0], pair[1]
+        x_scaled = scale_model_input(x, sigma, cfg.scheduler.sigma_data)
+        f = denoise_fn(x_scaled, sigma)
+        return edm_step(f, sigma, sigma_next, x, cfg.scheduler.sigma_data), None
+
+    sample, _ = jax.lax.scan(step, x_init, pairs)
+
+    # Decode: vae.decode(x / sigma_data) (ref:
+    # model_diffusion_renderer.py:148-156; pipeline.py:296).
+    video = vae_decode(
+        vae_params, (sample / cfg.scheduler.sigma_data).astype(compute_dtype),
+        cfg.vae,
+    ).astype(jnp.float32)
+
+    # Renormalize + blend by magnitude, applied per sample via normal_mask —
+    # a (B,) 0/1 selector so a batched 5-pass inverse run normalizes only its
+    # 'normal' element (ref: diffusion_renderer_pipeline.py:300-310).
+    norm = jnp.linalg.norm(video, axis=-1, keepdims=True)
+    normalized = video / jnp.clip(norm, 1e-12, None)
+    blend = jnp.clip((norm - 0.2) / (0.4 - 0.2), 0.0, 1.0)
+    renormed = normalized * blend + video * (1.0 - blend)
+    sel = normal_mask.astype(jnp.float32)[:, None, None, None, None]
+    video = renormed * sel + video * (1.0 - sel)
+
+    # [-1,1] -> [0,1] (ref: diffusion_renderer_pipeline.py:313-318).
+    return jnp.clip(1.0 + video, 0.0, 2.0) / 2.0
+
+
+class DiffusionRendererPipeline:
+    """Holds model params and dispatches jitted generations.
+
+    Equivalent public surface to the reference pipeline: set_model_type,
+    generate_video (here `generate`), runtime guidance/num_steps/seed
+    (ref: diffusion_renderer_pipeline.py:37-111,242-320).
+    """
+
+    def __init__(
+        self,
+        dit_params: Mapping[str, Any],
+        vae_params: Mapping[str, Any],
+        model_type: Optional[str] = "inverse",
+        guidance: float = 0.0,
+        num_steps: int = 15,
+        seed: int = 42,
+        compute_dtype: str = "bfloat16",
+        net_config=None,
+        vae_config=None,
+    ):
+        self.dit_params = dit_params
+        self.vae_params = vae_params
+        self.model_type = model_type.lower() if model_type else None
+        self.guidance = guidance
+        self.num_steps = num_steps
+        self.seed = seed
+        self.compute_dtype = compute_dtype
+        # Optional architecture overrides (scaled-down models for tests and
+        # ablations); None = flagship FADITV2_7B / CV8x8x8.
+        self.net_config = net_config
+        self.vae_config = vae_config
+
+    def set_model_type(self, model_type: str) -> None:
+        """(ref: diffusion_renderer_pipeline.py:99-111).  Note: inverse and
+        forward use different checkpoints (patch_dim 132 vs 612); switching
+        type only changes the config — the caller is responsible for having
+        loaded matching weights (checked at generate time)."""
+        self.model_type = model_type.lower()
+
+    def _config_for(self, shape_5d: Tuple[int, ...]) -> RendererConfig:
+        import dataclasses
+
+        b, t, h, w, c = shape_5d
+        cfg = get_config_by_model_type(
+            self.model_type, height=h, width=w, num_frames=t,
+            compute_dtype=self.compute_dtype,
+        )
+        if self.net_config is not None:
+            cfg = dataclasses.replace(cfg, net=self.net_config)
+        if self.vae_config is not None:
+            cfg = dataclasses.replace(cfg, vae=self.vae_config)
+        validate_config(cfg)
+        # Weight compatibility check (the reference relies on
+        # load_state_dict(strict=True) to catch this, nodes.py:110).
+        patch_dim = self.dit_params["x_embedder"]["weight"].shape[0]
+        if patch_dim != cfg.net.patch_dim:
+            raise ValueError(
+                f"Loaded DiT weights have patch_dim {patch_dim} but model_type "
+                f"{self.model_type!r} needs {cfg.net.patch_dim}. Load the "
+                f"matching checkpoint (inverse=132, forward=612)."
+            )
+        return cfg
+
+    def generate(
+        self,
+        data_batch: Mapping[str, Any],
+        normalize_normal=False,
+        seed: Optional[int] = None,
+        noise_tile: int = 1,
+    ) -> np.ndarray:
+        """Run one generation; returns uint8 (B, T, H, W, C) on host
+        (ref: diffusion_renderer_pipeline.py:242-320)."""
+        if self.model_type is None:
+            raise RuntimeError("model_type not set; call set_model_type first")
+
+        shape_key = None
+        for k in SHAPE_INFERENCE_KEYS:
+            if k in data_batch:
+                shape_key = k
+                break
+        if shape_key is None:
+            raise ValueError(
+                f"No tensor for shape inference; looked for {SHAPE_INFERENCE_KEYS}"
+            )
+        ref_tensor = jnp.asarray(data_batch[shape_key])
+        cfg = self._config_for(ref_tensor.shape)
+
+        present = tuple(
+            (k in data_batch) or (k == "image" and "rgb" in data_batch)
+            for k in cfg.condition_keys
+        )
+        cond_tensors = tuple(
+            jnp.asarray(
+                data_batch[k if k in data_batch else "rgb"]
+            )
+            if present[i]
+            else ref_tensor  # placeholder, ignored under static `present`
+            for i, k in enumerate(cfg.condition_keys)
+        )
+
+        b = ref_tensor.shape[0]
+        ctx = data_batch.get("context_index")
+        ctx = (
+            jnp.zeros((b,), jnp.int32)
+            if ctx is None
+            else jnp.asarray(ctx).reshape(b)
+        )
+
+        effective_seed = self.seed if seed is None else seed
+        key = jax.random.PRNGKey(effective_seed)
+
+        if isinstance(normalize_normal, bool):
+            normal_mask = jnp.full((b,), float(normalize_normal))
+        else:
+            normal_mask = jnp.asarray(normalize_normal, jnp.float32).reshape(b)
+
+        video01 = _generate_jit(
+            self.dit_params,
+            self.vae_params,
+            cond_tensors,
+            ctx,
+            key,
+            jnp.asarray(self.guidance, jnp.float32),
+            normal_mask,
+            cfg=cfg,
+            num_steps=self.num_steps,
+            use_cfg=self.guidance > 0,
+            present=present,
+            noise_tile=noise_tile,
+        )
+        return np.asarray((video01 * 255.0).astype(jnp.uint8))

@@ -1,0 +1,167 @@
+"""End-to-end pipeline/API tests on scaled-down models.
+
+Covers the reference node behaviors (ref: nodes.py) and pipeline post-
+processing (ref: diffusion_renderer_pipeline.py:242-320) without full-size
+weights: shapes, determinism, CFG wiring, batched 5-pass inverse, forward
+relighting with envmap preprocessing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionrenderer_tpu.api import forward_render, inverse_render
+from diffusionrenderer_tpu.config import DiTConfig, VAEConfig
+from diffusionrenderer_tpu.models.dit import init_dit_params
+from diffusionrenderer_tpu.models.vae import init_vae_params
+from diffusionrenderer_tpu.pipeline import DiffusionRendererPipeline
+
+TINY_VAE = VAEConfig(
+    encoder_block_out_channels=(8, 12, 16, 16),
+    decode_block_out_channels=(12, 16, 16, 16),
+    num_layers=1,
+)
+TINY_INV_NET = DiTConfig(
+    model_channels=48,
+    num_blocks=2,
+    num_heads=2,
+    adaln_lora_dim=8,
+    crossattn_emb_channels=16,
+    additional_concat_ch=16,
+    use_context_embedding=True,
+)
+TINY_FWD_NET = DiTConfig(
+    model_channels=48,
+    num_blocks=2,
+    num_heads=2,
+    adaln_lora_dim=8,
+    crossattn_emb_channels=16,
+    additional_concat_ch=17 * 8,
+    use_context_embedding=False,
+)
+
+
+def make_pipeline(model_type, **kw):
+    net = TINY_INV_NET if model_type == "inverse" else TINY_FWD_NET
+    dit = init_dit_params(jax.random.key(0), net, dtype=jnp.float32)
+    vae = init_vae_params(jax.random.key(1), TINY_VAE, dtype=jnp.float32)
+    return DiffusionRendererPipeline(
+        dit, vae, model_type=model_type, num_steps=3,
+        compute_dtype="float32", net_config=net, vae_config=TINY_VAE, **kw
+    )
+
+
+@pytest.fixture(scope="module")
+def inv_pipe():
+    return make_pipeline("inverse")
+
+
+@pytest.fixture(scope="module")
+def fwd_pipe():
+    return make_pipeline("forward")
+
+
+class TestGenerate:
+    def test_output_shape_and_dtype(self, inv_pipe):
+        img = np.random.default_rng(0).uniform(size=(1, 1, 16, 16, 3))
+        video = img * 2 - 1
+        out = inv_pipe.generate(
+            {"rgb": jnp.asarray(video, jnp.float32),
+             "context_index": jnp.zeros((1,), jnp.int32)}
+        )
+        assert out.shape == (1, 1, 16, 16, 3)
+        assert out.dtype == np.uint8
+
+    def test_deterministic_same_seed(self, inv_pipe):
+        video = jnp.asarray(
+            np.random.default_rng(1).uniform(-1, 1, (1, 1, 16, 16, 3)), jnp.float32
+        )
+        batch = {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}
+        a = inv_pipe.generate(batch, seed=7)
+        b = inv_pipe.generate(batch, seed=7)
+        np.testing.assert_array_equal(a, b)
+
+    def test_different_seed_differs(self, inv_pipe):
+        video = jnp.asarray(
+            np.random.default_rng(1).uniform(-1, 1, (1, 1, 16, 16, 3)), jnp.float32
+        )
+        batch = {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}
+        a = inv_pipe.generate(batch, seed=7)
+        b = inv_pipe.generate(batch, seed=8)
+        assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+    def test_cfg_changes_output(self):
+        pipe = make_pipeline("inverse")
+        video = jnp.asarray(
+            np.random.default_rng(2).uniform(-1, 1, (1, 1, 16, 16, 3)), jnp.float32
+        )
+        batch = {"rgb": video, "context_index": jnp.ones((1,), jnp.int32)}
+        a = pipe.generate(batch, seed=3)
+        pipe.guidance = 2.0
+        b = pipe.generate(batch, seed=3)
+        assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+    def test_video_frames(self, inv_pipe):
+        video = jnp.asarray(
+            np.random.default_rng(3).uniform(-1, 1, (1, 9, 16, 16, 3)), jnp.float32
+        )
+        out = inv_pipe.generate(
+            {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}
+        )
+        assert out.shape == (1, 9, 16, 16, 3)
+
+    def test_wrong_checkpoint_type_rejected(self, inv_pipe):
+        inv_pipe.set_model_type("forward")
+        video = jnp.zeros((1, 1, 16, 16, 3), jnp.float32)
+        try:
+            with pytest.raises(ValueError,
+                               match="patch_dim|additional_concat_ch"):
+                inv_pipe.generate({"depth": video})
+        finally:
+            inv_pipe.set_model_type("inverse")
+
+
+class TestInverseAPI:
+    def test_five_passes_batched(self, inv_pipe):
+        img = np.random.default_rng(4).uniform(size=(1, 16, 16, 3)).astype(
+            np.float32
+        )
+        out = inverse_render(inv_pipe, img, batch_passes=True)
+        assert set(out) == {"basecolor", "metallic", "roughness", "normal", "depth"}
+        for v in out.values():
+            assert v.shape == (1, 16, 16, 3)
+            assert 0.0 <= v.min() and v.max() <= 1.0
+
+    def test_batched_matches_serial(self, inv_pipe):
+        """Batched 5-pass must equal the serial loop (same per-pass seed)."""
+        img = np.random.default_rng(5).uniform(size=(1, 16, 16, 3)).astype(
+            np.float32
+        )
+        a = inverse_render(inv_pipe, img, batch_passes=True,
+                           passes=("basecolor", "normal"))
+        b = inverse_render(inv_pipe, img, batch_passes=False,
+                           passes=("basecolor", "normal"))
+        for k in a:
+            np.testing.assert_allclose(
+                a[k], b[k], atol=2 / 255.0,
+                err_msg=f"batched vs serial mismatch for {k}",
+            )
+
+    def test_3d_input_coercion(self, inv_pipe):
+        img = np.random.default_rng(6).uniform(size=(16, 16, 3)).astype(np.float32)
+        out = inverse_render(inv_pipe, img, passes=("depth",))
+        assert out["depth"].shape == (1, 16, 16, 3)
+
+
+class TestForwardAPI:
+    @pytest.mark.parametrize("env_format", ["proj", "proj_direct", "ball"])
+    def test_forward_relighting(self, fwd_pipe, env_format):
+        rng = np.random.default_rng(7)
+        g = lambda: rng.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+        env = np.abs(rng.standard_normal((8, 16, 3))).astype(np.float32) * 5
+        out = forward_render(
+            fwd_pipe, g(), g(), g(), g(), g(), env, env_format=env_format
+        )
+        assert out.shape == (1, 16, 16, 3)
+        assert 0.0 <= out.min() and out.max() <= 1.0
