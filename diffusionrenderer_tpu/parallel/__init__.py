@@ -1,0 +1,11 @@
+from .sharding import (
+    AXIS_DATA,
+    AXIS_SEQ,
+    AXIS_TENSOR,
+    batch_sharding,
+    dit_param_shardings,
+    make_mesh,
+    shard_params,
+    token_sharding_constraint,
+    vae_param_shardings,
+)

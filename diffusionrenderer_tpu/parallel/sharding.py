@@ -1,0 +1,123 @@
+"""Mesh + sharding layout for multi-chip execution.
+
+The reference is strictly single-GPU (SURVEY.md section 2d: no torch.distributed,
+no NCCL, hardcoded cuda device at diffusion_renderer_pipeline.py:81).  Here
+parallelism is first-class and entirely XLA-compiled: we declare a
+(data, seq, tensor) mesh and NamedShardings; XLA inserts the all-gathers /
+reduce-scatters over ICI.
+
+Axes:
+* data   — batch of videos; the 5 inverse G-buffer passes batch here too.
+* seq    — token axis of the (B, L, D) DiT activations (sequence parallel).
+  Self-attention KV is all-gathered across `seq` — at L=28,160 the gather is
+  ~440 MB bf16 per layer group, cheap on ICI relative to the O(L^2) attention
+  FLOPs it unlocks (SURVEY.md section 5: all-gather beats ring at this L).
+* tensor — Megatron-style sharding of the 4096-wide matmuls: qkv / MLP-in
+  column-sharded (heads split), out / MLP-out row-sharded, AdaLN + norms +
+  embedders replicated.
+
+Param shardings operate on the STACKED block tensors (leading num_blocks
+axis unsharded so lax.scan slices locally).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DATA = "data"
+AXIS_SEQ = "seq"
+AXIS_TENSOR = "tensor"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    data: Optional[int] = None,
+    seq: Optional[int] = None,
+    tensor: Optional[int] = None,
+) -> Mesh:
+    """Build a (data, seq, tensor) mesh over the first n devices.
+
+    With no explicit factors: tensor gets up to 2, seq up to 2, remainder to
+    data — a balanced default for inference; override for real deployments.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if data is None or seq is None or tensor is None:
+        tensor = tensor or (2 if n % 2 == 0 else 1)
+        rem = n // tensor
+        seq = seq or (2 if rem % 2 == 0 else 1)
+        data = data or rem // seq
+    assert data * seq * tensor == n, (
+        f"mesh {data}x{seq}x{tensor} != {n} devices"
+    )
+    dev_array = np.asarray(devices[:n]).reshape(data, seq, tensor)
+    return Mesh(dev_array, (AXIS_DATA, AXIS_SEQ, AXIS_TENSOR))
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def dit_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """NamedSharding pytree matching a DiT params pytree.
+
+    Megatron TP: column-parallel into attention/MLP, row-parallel out.
+    """
+    rep = _ns(mesh)
+    col3 = _ns(mesh, None, None, AXIS_TENSOR)  # (nb, in, out): shard out
+    row3 = _ns(mesh, None, AXIS_TENSOR, None)  # (nb, in, out): shard in
+
+    def map_blocks(sub: str, name: str):
+        if name in ("wq", "wk", "wv", "w1"):
+            return col3
+        if name in ("wo", "w2"):
+            return row3
+        return rep
+
+    out: Dict[str, Any] = {
+        "x_embedder": {k: rep for k in params["x_embedder"]},
+        "t_embedder": {k: rep for k in params["t_embedder"]},
+        "affline_norm": {"weight": rep},
+        "blocks": {
+            sub: {name: map_blocks(sub, name) for name in params["blocks"][sub]}
+            for sub in params["blocks"]
+        },
+        "final": {k: rep for k in params["final"]},
+    }
+    if "context_embedding" in params:
+        out["context_embedding"] = {"weight": rep}
+    return out
+
+
+def vae_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """VAE weights are small (~100M); replicate everywhere."""
+    rep = _ns(mesh)
+    return jax.tree.map(lambda _: rep, params)
+
+
+def shard_params(params: Any, shardings: Any) -> Any:
+    """Place a host/param pytree onto the mesh per the sharding pytree."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params, shardings
+    )
+
+
+def token_sharding_constraint(mesh: Mesh):
+    """Constraint callable for (B, L, D) activations: batch over data,
+    tokens over seq (passed to dit_forward as seq_sharding_constraint)."""
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(
+            x, _ns(mesh, AXIS_DATA, AXIS_SEQ, None)
+        )
+
+    return constrain
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, T, H, W, C) video tensors: shard batch over data."""
+    return _ns(mesh, AXIS_DATA, None, None, None, None)

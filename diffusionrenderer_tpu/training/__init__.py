@@ -1,0 +1,7 @@
+from .train import (
+    TrainState,
+    edm_loss,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
