@@ -1,0 +1,167 @@
+"""Pallas flash-attention (TPU) for the DiT's dense self-attention.
+
+Replaces torch F.scaled_dot_product_attention (ref: CleanGeneralDIT.py:192-197)
+with a block-wise online-softmax kernel:
+
+* grid (B*H, Lq/BLK_Q, Lk/BLK_K); Q/output tiles revisit VMEM once per KV
+  block; the KV axis is the sequential online-softmax reduction
+  ("arbitrary"), batch-head and Q blocks are "parallel" (megacore);
+* fp32 running max / normalizer / accumulator in VMEM scratch, bf16 tile
+  matmuls on the MXU with fp32 accumulation;
+* non-causal, no mask — the DiT attends densely over the full 3D token grid;
+  ragged tails are zero-padded and masked with -inf inside the kernel;
+* numerics match the XLA softmax-attention oracle to bf16 tolerance
+  (tests/test_flash_attention.py).
+
+Flagship shape: L = 28,160 tokens, 32 heads x 128 head_dim.  28160 = 55*512,
+so BLK 512 tiles evenly; VMEM per program ~ 0.8 MB, far under budget.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tuned on v5e at the flagship shape (L=28160, 32h x 128d):
+# (1024, 1024) -> 100 TFLOP/s (51% MFU); (512, 512) -> 20; (2048, 1024) OOMs
+# the 16MB VMEM scoped budget.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale: float, kv_len: int, block_k: int):
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (BLK_Q, D)
+    k = k_ref[0]  # (BLK_K, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+
+    # Mask zero-padded keys in the ragged tail block.
+    first_key = kv_idx * block_k
+    if kv_len % block_k != 0:
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + first_key
+        s = jnp.where(cols < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[...]  # (BLK_Q, 128) row-replicated
+    l_prev = l_ref[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BLK_Q, 1)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+
+    p = jnp.exp(s - m_new[:, :1])  # (BLK_Q, BLK_K)
+    alpha = jnp.exp(m_prev - m_new)  # (BLK_Q, 128)
+
+    l_ref[...] = l_prev * alpha + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+    m_ref[...] = m_new
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[-1]] + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[...] / l_ref[..., : acc_ref.shape[-1]][..., :1]).astype(
+            o_ref.dtype
+        )
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(d)) v, non-causal.
+
+    q: (B, Lq, H, D); k, v: (B, Lk, H, D) -> (B, Lq, H, D).
+    On non-TPU backends runs in Pallas interpret mode (for tests).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    def to_bh(x, l, l_pad):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+        if l_pad != l:
+            x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        return x
+
+    qb = to_bh(q, lq, lq_pad)
+    kb = to_bh(k, lk, lk_pad)
+    vb = to_bh(v, lk, lk_pad)
+
+    grid = (b * h, lq_pad // block_q, lk_pad // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, kv_len=lk, block_k=block_k
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, d), lambda bh, i, j: (bh, i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+                pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
+                pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * lq_pad * lk_pad * d * b * h,
+            bytes_accessed=(lq_pad + 2 * lk_pad) * d * b * h * q.dtype.itemsize,
+            transcendentals=lq_pad * lk_pad * b * h,
+        ),
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    out = out[:, :lq].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
+    return out

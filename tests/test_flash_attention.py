@@ -1,0 +1,68 @@
+"""Pallas flash attention vs the XLA softmax-attention oracle.
+
+Runs in Pallas interpret mode on the CPU test mesh; the same kernel compiles
+natively on TPU (exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionrenderer_tpu.ops.attention import attention_xla
+from diffusionrenderer_tpu.ops.flash_attention import flash_attention
+
+
+def make_qkv(b, l, h, d, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    mk = lambda k: jax.random.normal(k, (b, l, h, d), dtype)
+    return mk(ks[0]), mk(ks[1]), mk(ks[2])
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize(
+        "b,l,h,d,blk",
+        [
+            (1, 256, 2, 128, 128),   # multiple blocks, even split
+            (2, 128, 1, 128, 128),   # single block
+            (1, 384, 1, 128, 128),   # 3 kv blocks
+        ],
+    )
+    def test_matches_xla(self, b, l, h, d, blk):
+        q, k, v = make_qkv(b, l, h, d)
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=blk, block_k=blk, interpret=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+    def test_ragged_tail_masked(self):
+        """L not divisible by the block: padded keys must not leak."""
+        b, l, h, d = 1, 200, 2, 128
+        q, k, v = make_qkv(b, l, h, d, seed=1)
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+    def test_bf16_inputs(self):
+        b, l, h, d = 1, 256, 2, 128
+        q, k, v = make_qkv(b, l, h, d, seed=2, dtype=jnp.bfloat16)
+        expected = np.asarray(attention_xla(q, k, v), np.float32)
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=128, block_k=128, interpret=True),
+            np.float32,
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-2, atol=2e-2)
+
+    def test_extreme_logits_stable(self):
+        """Online softmax must survive large logit magnitudes."""
+        b, l, h, d = 1, 256, 1, 128
+        q, k, v = make_qkv(b, l, h, d, seed=3)
+        q = q * 30.0
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        )
+        expected = np.asarray(attention_xla(q, k, v))
+        assert np.all(np.isfinite(got))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
