@@ -209,13 +209,26 @@ def _cross_attention_block(
     return x + gate[:, None, :] * o
 
 
-def _mlp_block(x, emb, lora, bp):
+def _mlp_block(x, emb, lora, bp, token_chunks: int = 1):
     (_, _, gate), xm = _adaln(x, emb, lora, bp)
-    h = _dense(xm, bp["w1"])
-    # torch nn.GELU default is the exact erf form (ref:
-    # CleanGeneralDIT.py:442-462); jax defaults to tanh approx, so be explicit.
-    h = jax.nn.gelu(h, approximate=False)
-    o = _dense(h, bp["w2"])
+
+    def ff(xc):
+        h = _dense(xc, bp["w1"])
+        # torch nn.GELU default is the exact erf form (ref:
+        # CleanGeneralDIT.py:442-462); jax defaults to tanh approx, so be
+        # explicit.
+        h = jax.nn.gelu(h, approximate=False)
+        return _dense(h, bp["w2"])
+
+    b, l, d = xm.shape
+    if token_chunks > 1 and l % token_chunks == 0:
+        # Bound the (L, 4*D) hidden activation: process the token axis in
+        # chunks.  Memory, not math — each token's MLP is independent.
+        xc = xm.reshape(b, token_chunks, l // token_chunks, d)
+        o = jax.lax.map(ff, xc.transpose(1, 0, 2, 3)).transpose(1, 0, 2, 3)
+        o = o.reshape(b, l, d)
+    else:
+        o = ff(xm)
     return x + gate[:, None, :] * o
 
 
@@ -234,6 +247,7 @@ def dit_forward(
     crossattn_emb: Optional[jax.Array] = None,
     attn_backend: str = "auto",
     seq_sharding_constraint=None,
+    mlp_token_chunks: int = 1,
 ) -> jax.Array:
     """One denoiser evaluation F(x; sigma, condition).
 
@@ -313,7 +327,8 @@ def dit_forward(
         y = _cross_attention_block(
             y, affline_emb, lora, bp["ca"], context, cfg.num_heads
         )
-        y = _mlp_block(y, affline_emb, lora, bp["mlp"])
+        y = _mlp_block(y, affline_emb, lora, bp["mlp"],
+                       token_chunks=mlp_token_chunks)
         if seq_sharding_constraint is not None:
             y = seq_sharding_constraint(y)
         return y, None

@@ -37,8 +37,8 @@ _NEG_INF = -1e30
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                   scale: float, kv_len: int, block_k: int):
-    kv_idx = pl.program_id(2)
-    num_kv = pl.num_programs(2)
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -80,9 +80,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
     @pl.when(kv_idx == num_kv - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[...] / l_ref[..., : acc_ref.shape[-1]][..., :1]).astype(
-            o_ref.dtype
-        )
+        o_ref[0] = (
+            acc_ref[...] / l_ref[..., : acc_ref.shape[-1]][..., :1]
+        ).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -114,37 +114,49 @@ def flash_attention(
 
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
+    # Prefer a block size that divides L exactly: padding would materialize
+    # full copies of q/k/v (~2 GB at the flagship shape).
+    while lq % block_q and block_q > 128:
+        block_q //= 2
+    while lk % block_k and block_k > 128:
+        block_k //= 2
 
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
 
-    def to_bh(x, l, l_pad):
-        x = x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+    def flat(x, l, l_pad):
+        x = x.reshape(b, l, h * d)  # heads onto the lane axis — free reshape
         if l_pad != l:
             x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
         return x
 
-    qb = to_bh(q, lq, lq_pad)
-    kb = to_bh(k, lk, lk_pad)
-    vb = to_bh(v, lk, lk_pad)
+    qb = flat(q, lq, lq_pad)
+    kb = flat(k, lk, lk_pad)
+    vb = flat(v, lk, lk_pad)
 
-    grid = (b * h, lq_pad // block_q, lk_pad // block_k)
+    # Grid walks (batch, head, q-block) in parallel and the kv axis
+    # sequentially; each head is a d-wide slice of the lane axis — no
+    # transposed copies of q/k/v.
+    grid = (b, h, lq_pad // block_q, lk_pad // block_k)
 
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, kv_len=lk, block_k=block_k
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, h * d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+                pl.BlockSpec((1, block_q, d),
+                             lambda bi, hi, i, j: (bi, i, hi)),
+                pl.BlockSpec((1, block_k, d),
+                             lambda bi, hi, i, j: (bi, j, hi)),
+                pl.BlockSpec((1, block_k, d),
+                             lambda bi, hi, i, j: (bi, j, hi)),
             ],
             out_specs=pl.BlockSpec(
-                (1, block_q, d), lambda bh, i, j: (bh, i, 0)
+                (1, block_q, d), lambda bi, hi, i, j: (bi, i, hi)
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),  # running max
@@ -153,7 +165,8 @@ def flash_attention(
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * lq_pad * lk_pad * d * b * h,
@@ -163,5 +176,4 @@ def flash_attention(
         interpret=interpret,
     )(qb, kb, vb)
 
-    out = out[:, :lq].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
-    return out
+    return out[:, :lq].reshape(b, lq, h, d)
