@@ -38,16 +38,26 @@ def dit_step_flops(p_params: float, l_tokens: int, d_model: int,
     return 2.0 * p_params * l_tokens + 4.0 * l_tokens**2 * d_model * num_blocks / 28.0
 
 
-def _init_bf16(cfg, key, dtype):
+def _init_bf16(cfg, key, dtype, int8_weights=False):
     """Benchmark weights: small tensors random, the big stacked block tensors
     zero-filled — identical FLOPs/latency, but no RNG temporaries (the
     `normal * scale` pattern transiently doubles each tensor, which OOMs when
-    weights ~fill HBM; usable ceiling measured at ~14.5 GiB on this v5e)."""
+    weights ~fill HBM; usable ceiling measured at ~14.5 GiB on this v5e).
+    int8_weights builds the quantized representation directly (production
+    checkpoints are quantized host-side during conversion)."""
     d, dh, r = cfg.model_channels, cfg.head_dim, cfg.adaln_lora_dim
     hid, ctx, nb = cfg.hidden_dim, cfg.crossattn_emb_channels, cfg.num_blocks
     keys = iter(jax.random.split(key, 64))
     w = lambda shape: jax.random.normal(next(keys), shape, dtype) * 0.02
     st = lambda shape: jnp.zeros((nb, *shape), dtype)
+    if int8_weights:
+        # Big matmul weights only (AdaLN stays bf16, as in models/quant.py).
+        stq = lambda shape: {
+            "q": jnp.zeros((nb, *shape), jnp.int8),
+            "s": jnp.full((nb, shape[-1]), 0.01, jnp.float32),
+        }
+    else:
+        stq = st
     ones = lambda shape: jnp.ones(shape, dtype)
     params = {
         "x_embedder": {"weight": w((cfg.patch_dim, d))},
@@ -55,15 +65,15 @@ def _init_bf16(cfg, key, dtype):
         "affline_norm": {"weight": ones((d,))},
         "blocks": {
             "fa": {"adaln_w1": st((d, r)), "adaln_w2": st((r, 3 * d)),
-                   "wq": st((d, d)), "wk": st((d, d)), "wv": st((d, d)),
-                   "wo": st((d, d)), "q_norm": ones((nb, dh)),
+                   "wq": stq((d, d)), "wk": stq((d, d)), "wv": stq((d, d)),
+                   "wo": stq((d, d)), "q_norm": ones((nb, dh)),
                    "k_norm": ones((nb, dh))},
             "ca": {"adaln_w1": st((d, r)), "adaln_w2": st((r, 3 * d)),
-                   "wq": st((d, d)), "wk": st((ctx, d)), "wv": st((ctx, d)),
-                   "wo": st((d, d)), "q_norm": ones((nb, dh)),
+                   "wq": stq((d, d)), "wk": stq((ctx, d)), "wv": stq((ctx, d)),
+                   "wo": stq((d, d)), "q_norm": ones((nb, dh)),
                    "k_norm": ones((nb, dh))},
             "mlp": {"adaln_w1": st((d, r)), "adaln_w2": st((r, 3 * d)),
-                    "w1": st((d, hid)), "w2": st((hid, d))},
+                    "w1": stq((d, hid)), "w2": stq((hid, d))},
         },
         "final": {"adaln_w1": w((d, r)), "adaln_w2": w((r, 2 * d)),
                   "linear": w((d, cfg.patch_spatial**2 * cfg.patch_temporal
@@ -89,10 +99,11 @@ def _fits_hbm(cfg, tokens: int, dtype) -> bool:
     return weights + act + block_slice < HBM_BUDGET_BYTES
 
 
-def _bench_config(cfg, t, h, w, dtype, n_iters=3):
+def _bench_config(cfg, t, h, w, dtype, n_iters=3, int8_weights=False):
     from diffusionrenderer_tpu.models.dit import dit_forward
 
-    params = _init_bf16(cfg, jax.random.key(0), dtype)
+    params = _init_bf16(cfg, jax.random.key(0), dtype,
+                        int8_weights=int8_weights)
     b = 1
     cond = jax.random.normal(jax.random.key(2),
                              (b, t, h, w, cfg.additional_concat_ch), dtype)
@@ -113,6 +124,32 @@ def _bench_config(cfg, t, h, w, dtype, n_iters=3):
     return (time.perf_counter() - t0) / n_iters
 
 
+def run_rung(metric, cfg, thw, dtype, int8_w) -> None:
+    """Execute a single rung and print its JSON line (subprocess entry)."""
+    from diffusionrenderer_tpu.models.dit import dit_param_count
+
+    t, h, w = thw
+    dt = _bench_config(cfg, t, h, w, dtype, int8_weights=int8_w)
+    tokens = (t // cfg.patch_temporal) * (h // cfg.patch_spatial) * (
+        w // cfg.patch_spatial
+    )
+    flops = dit_step_flops(dit_param_count(cfg), tokens, cfg.model_channels,
+                           cfg.num_blocks)
+    baseline_s = flops / A100_EFFECTIVE_FLOPS
+    print(json.dumps({
+        "metric": metric,
+        "value": round(dt * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_s / dt, 3),
+    }))
+    print(
+        f"# {tokens} tokens, {flops/1e12:.1f} TFLOP/step, achieved "
+        f"{flops/dt/1e12:.1f} TFLOP/s; baseline = estimated A100 TF32 "
+        f"reference {baseline_s*1e3:.0f} ms",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     from diffusionrenderer_tpu.config import DiTConfig
     from diffusionrenderer_tpu.models.dit import dit_param_count
@@ -121,50 +158,78 @@ def main() -> None:
 
     if on_tpu:
         ladder = [
-            ("dit_step_ms_7b_flagship_28160tok", DiTConfig(), (8, 88, 160),
-             jnp.bfloat16),
+            # bf16 weights at flagship tokens do not fit one v5e
+            # (13.48 GiB + activations > ~14.5 GiB usable) — int8 weight-only
+            # quantization is the single-chip flagship path.
+            ("dit_step_ms_7b_flagship_28160tok_int8w", DiTConfig(),
+             (8, 88, 160), jnp.bfloat16, True),
             ("dit_step_ms_7b_512x512_1024tok", DiTConfig(), (1, 64, 64),
-             jnp.bfloat16),
+             jnp.bfloat16, False),
         ]
     else:
         tiny = DiTConfig(model_channels=128, num_blocks=2, num_heads=4,
                          adaln_lora_dim=16, crossattn_emb_channels=32)
-        ladder = [("dit_step_ms_tiny_cpu", tiny, (1, 16, 16), jnp.float32)]
+        ladder = [("dit_step_ms_tiny_cpu", tiny, (1, 16, 16), jnp.float32,
+                   False)]
 
-    last_err = None
-    for metric, cfg, (t, h, w), dtype in ladder:
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--rung="):
+        # Subprocess mode: run exactly one rung by index.
+        idx = int(sys.argv[1].split("=")[1])
+        metric, cfg, thw, dtype, int8_w = ladder[idx]
+        run_rung(metric, cfg, thw, dtype, int8_w)
+        return
+
+    # Parent mode: try rungs in isolated subprocesses — a failed (OOM) rung
+    # must not poison device memory for the next one.
+    import subprocess
+
+    last_err = "no rung attempted"
+    for idx, (metric, cfg, (t, h, w), dtype, int8_w) in enumerate(ladder):
         tokens = (t // cfg.patch_temporal) * (h // cfg.patch_spatial) * (
             w // cfg.patch_spatial
         )
-        if on_tpu and not _fits_hbm(cfg, tokens, dtype):
+        eff_dtype = jnp.int8 if int8_w else dtype
+        if on_tpu and not _fits_hbm(cfg, tokens, eff_dtype):
             print(f"# rung {metric} skipped: exceeds single-chip HBM budget "
                   f"(needs TP>=2 or int8 weights)", file=sys.stderr)
             continue
-        try:
-            dt = _bench_config(cfg, t, h, w, dtype)
-            tokens = (t // cfg.patch_temporal) * (h // cfg.patch_spatial) * (
-                w // cfg.patch_spatial
-            )
-            flops = dit_step_flops(dit_param_count(cfg), tokens,
-                                   cfg.model_channels, cfg.num_blocks)
-            baseline_s = flops / A100_EFFECTIVE_FLOPS
-            print(json.dumps({
-                "metric": metric,
-                "value": round(dt * 1e3, 2),
-                "unit": "ms",
-                "vs_baseline": round(baseline_s / dt, 3),
-            }))
-            print(
-                f"# {tokens} tokens, {flops/1e12:.1f} TFLOP/step, "
-                f"achieved {flops/dt/1e12:.1f} TFLOP/s; baseline = estimated "
-                f"A100 TF32 reference {baseline_s*1e3:.0f} ms",
-                file=sys.stderr,
-            )
+        proc = subprocess.run(
+            [sys.executable, __file__, f"--rung={idx}"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        sys.stderr.write(proc.stderr[-2000:])
+        if proc.returncode == 0 and proc.stdout.strip():
+            sys.stdout.write(proc.stdout)
             return
-        except Exception as e:  # OOM at this rung -> try the next
-            last_err = e
-            print(f"# rung {metric} failed: {str(e)[:120]}", file=sys.stderr)
+        last_err = f"rung {metric} rc={proc.returncode}"
+        print(f"# {last_err}", file=sys.stderr)
     raise SystemExit(f"all bench rungs failed: {last_err}")
+
+
+def run_rung(metric, cfg, thw, dtype, int8_w) -> None:
+    """Execute a single rung and print its JSON line (subprocess entry)."""
+    from diffusionrenderer_tpu.models.dit import dit_param_count
+
+    t, h, w = thw
+    dt = _bench_config(cfg, t, h, w, dtype, int8_weights=int8_w)
+    tokens = (t // cfg.patch_temporal) * (h // cfg.patch_spatial) * (
+        w // cfg.patch_spatial
+    )
+    flops = dit_step_flops(dit_param_count(cfg), tokens, cfg.model_channels,
+                           cfg.num_blocks)
+    baseline_s = flops / A100_EFFECTIVE_FLOPS
+    print(json.dumps({
+        "metric": metric,
+        "value": round(dt * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_s / dt, 3),
+    }))
+    print(
+        f"# {tokens} tokens, {flops/1e12:.1f} TFLOP/step, achieved "
+        f"{flops/dt/1e12:.1f} TFLOP/s; baseline = estimated A100 TF32 "
+        f"reference {baseline_s*1e3:.0f} ms",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

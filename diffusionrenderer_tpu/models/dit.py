@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DiTConfig
-from ..ops.attention import attention, attention_xla, cross_attention_single_kv
+from ..ops.attention import attention, attention_xla
 from ..ops.norms import adaln_modulation, layer_norm_no_affine, modulate, rms_norm
 from ..ops.patch import patch_embed, unpatchify
 from ..ops.rope import rope_3d_angles
@@ -124,11 +124,12 @@ def init_dit_params(
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def _dense(x: jax.Array, w: jax.Array) -> jax.Array:
-    """x @ w with fp32 accumulation, output in x.dtype."""
-    return jnp.einsum(
-        "...i,io->...o", x, w, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+def _dense(x: jax.Array, w) -> jax.Array:
+    """x @ w with fp32 accumulation, output in x.dtype.  Transparently
+    supports weight-only int8 ({'q','s'} leaves from models/quant.py)."""
+    from .quant import dense_maybe_quantized
+
+    return dense_maybe_quantized(x, w)
 
 
 def _adaln(x, emb, lora, bp, n_chunks=3):
@@ -194,9 +195,10 @@ def _cross_attention_block(
     m = context.shape[1]
 
     if m == 1:
-        # Exact single-KV identity: softmax over one key == 1, output == v.
-        v = cross_attention_single_kv(context, None, bp["wv"], num_heads)
-        o = _dense(v.reshape(b, 1, d), bp["wo"])  # (B, 1, D)
+        # Exact single-KV identity: softmax over one key == 1, output == v
+        # (see ops.attention.cross_attention_single_kv for the derivation).
+        v = _dense(context, bp["wv"])  # (B, 1, D)
+        o = _dense(v, bp["wo"])  # (B, 1, D)
         return x + gate[:, None, :] * o  # broadcast over L
     # General path (kept for multi-token contexts).
     q = _dense(xm, bp["wq"]).reshape(b, l, num_heads, dh)
