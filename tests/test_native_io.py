@@ -1,0 +1,110 @@
+"""Native C++ HDR codec: RGBE round-trips, cross-checks vs imageio, PFM."""
+
+import os
+import struct
+import tempfile
+
+import numpy as np
+import pytest
+
+from diffusionrenderer_tpu.native import rgbe
+from diffusionrenderer_tpu.io import load_hdr_file, load_hdr_image
+
+
+@pytest.fixture(scope="module")
+def hdr_img():
+    rng = np.random.default_rng(0)
+    # HDR-range content incl. tiny and huge values.
+    img = np.abs(rng.standard_normal((16, 32, 3))).astype(np.float32)
+    img[0, 0] = [0, 0, 0]
+    img[1, 1] = [1000.0, 0.5, 1e-4]
+    return img
+
+
+class TestRGBE:
+    def test_roundtrip(self, hdr_img, tmp_path):
+        path = str(tmp_path / "test.hdr")
+        rgbe.save_hdr(path, hdr_img)
+        loaded = rgbe.load(path)
+        assert loaded.shape == hdr_img.shape
+        # RGBE shares one exponent per pixel: error bound is relative to the
+        # pixel's max component (~1/256), not per-component.
+        bound = hdr_img.max(axis=-1, keepdims=True) / 128.0 + 1e-6
+        assert np.all(np.abs(loaded - hdr_img) <= bound)
+
+    def test_crosscheck_imageio(self, hdr_img, tmp_path):
+        imageio = pytest.importorskip("imageio.v3")
+        path = str(tmp_path / "cross.hdr")
+        rgbe.save_hdr(path, hdr_img)
+        try:
+            theirs = np.asarray(imageio.imread(path))
+        except Exception:
+            pytest.skip("imageio lacks an HDR reader in this env")
+        if theirs.dtype != np.float32:
+            # This env's imageio lacks a float HDR reader (returns
+            # tone-mapped uint8) — exactly why the native decoder exists.
+            pytest.skip("imageio has no float HDR reader here")
+        ours = rgbe.load(path)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-7)
+
+    def test_reads_rle_files_from_imageio(self, hdr_img, tmp_path):
+        """imageio/FreeImage writes RLE scanlines; our decoder must read them."""
+        imageio = pytest.importorskip("imageio.v3")
+        path = str(tmp_path / "rle.hdr")
+        try:
+            imageio.imwrite(path, hdr_img.astype(np.float32), extension=".hdr")
+        except Exception:
+            pytest.skip("imageio lacks an HDR writer in this env")
+        ours = rgbe.load(path)
+        bound = hdr_img.max(axis=-1, keepdims=True) / 128.0 + 1e-6
+        assert np.all(np.abs(ours - hdr_img) <= bound)
+
+    def test_io_module_uses_native(self, hdr_img, tmp_path):
+        path = str(tmp_path / "io.hdr")
+        rgbe.save_hdr(path, hdr_img)
+        loaded = load_hdr_file(path)
+        assert loaded.dtype == np.float32
+        bound = hdr_img.max(axis=-1, keepdims=True) / 128.0 + 1e-6
+        assert np.all(np.abs(loaded - hdr_img) <= bound)
+
+    def test_load_hdr_image_api_shape(self, hdr_img, tmp_path):
+        # LoadHDRImage node equivalent returns (1, H, W, 3)
+        # (ref: nodes.py:312-332).
+        path = str(tmp_path / "api.hdr")
+        rgbe.save_hdr(path, hdr_img)
+        out = load_hdr_image(path)
+        assert out.shape == (1, 16, 32, 3)
+        assert out.max() > 1.0  # HDR values preserved
+
+
+class TestPFM:
+    def _write_pfm(self, path, img, little_endian=True):
+        h, w, c = img.shape
+        tag = b"PF" if c == 3 else b"Pf"
+        scale = -1.0 if little_endian else 1.0
+        data = img[::-1].astype("<f4" if little_endian else ">f4")
+        with open(path, "wb") as f:
+            f.write(tag + b"\n")
+            f.write(f"{w} {h}\n{scale}\n".encode())
+            f.write(data.tobytes())
+
+    def test_pfm_roundtrip_little_endian(self, hdr_img, tmp_path):
+        path = str(tmp_path / "t.pfm")
+        self._write_pfm(path, hdr_img, little_endian=True)
+        loaded = rgbe.load(path)
+        np.testing.assert_allclose(loaded, hdr_img, rtol=1e-6)
+
+    def test_pfm_big_endian(self, hdr_img, tmp_path):
+        path = str(tmp_path / "be.pfm")
+        self._write_pfm(path, hdr_img, little_endian=False)
+        loaded = rgbe.load(path)
+        np.testing.assert_allclose(loaded, hdr_img, rtol=1e-6)
+
+    def test_pfm_grayscale(self, tmp_path):
+        img = np.abs(np.random.default_rng(1).standard_normal(
+            (8, 8, 1))).astype(np.float32)
+        path = str(tmp_path / "gray.pfm")
+        self._write_pfm(path, img, little_endian=True)
+        loaded = rgbe.load(path)
+        assert loaded.shape == (8, 8, 3)
+        np.testing.assert_allclose(loaded[..., 0], img[..., 0], rtol=1e-6)
