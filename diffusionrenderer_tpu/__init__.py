@@ -20,5 +20,6 @@ from .config import (
     get_preset_config,
     validate_config,
 )
+from .pipeline import DiffusionRendererPipeline
 
 __version__ = "0.1.0"

@@ -48,17 +48,24 @@ SHAPE_INFERENCE_KEYS = (
 
 
 def _prepare_latent_conditions(
-    dit_params, vae_params, cond_tensors, present, cfg: RendererConfig
+    dit_params, vae_params, cond_tensors, present, cfg: RendererConfig,
+    identity_vae: bool = False,
 ):
     """Encode each present condition key through the VAE (x sigma_data), zeros
     for missing keys, optional 0/1 mask channel per key; concat on channels
-    (ref: model_diffusion_renderer.py:158-197)."""
+    (ref: model_diffusion_renderer.py:158-197).
+
+    identity_vae=True treats inputs as already-latent (golden parity harness:
+    isolates sampler+conditioning semantics from VAE weights)."""
     sd = cfg.sigma_data
     pieces = []
     latent = None
     for i, key in enumerate(cfg.condition_keys):
         if present[i]:
-            z = vae_encode(vae_params, cond_tensors[i], cfg.vae) * sd
+            if identity_vae:
+                z = cond_tensors[i] * sd
+            else:
+                z = vae_encode(vae_params, cond_tensors[i], cfg.vae) * sd
             latent = z
             pieces.append(("z", z))
             if cfg.append_condition_mask:
@@ -84,7 +91,8 @@ def _prepare_latent_conditions(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_steps", "use_cfg", "present", "noise_tile"),
+    static_argnames=("cfg", "num_steps", "use_cfg", "present", "noise_tile",
+                     "identity_vae"),
 )
 def _generate_jit(
     dit_params,
@@ -94,12 +102,14 @@ def _generate_jit(
     key: jax.Array,
     guidance: jax.Array,
     normal_mask: jax.Array,
+    x_init_override: Optional[jax.Array] = None,
     *,
     cfg: RendererConfig,
     num_steps: int,
     use_cfg: bool,
     present: Tuple[bool, ...],
     noise_tile: int = 1,
+    identity_vae: bool = False,
 ):
     """Full generation: conditions -> EDM scan -> decode -> [0,1] video."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -108,7 +118,8 @@ def _generate_jit(
         x.astype(compute_dtype) if x is not None else None for x in cond_tensors
     )
     latent_condition = _prepare_latent_conditions(
-        dit_params, vae_params, cond_tensors, present, cfg
+        dit_params, vae_params, cond_tensors, present, cfg,
+        identity_vae=identity_vae,
     )
     b, lt, lh, lw, _ = latent_condition.shape
     c_lat = cfg.vae.latent_channels
@@ -117,12 +128,15 @@ def _generate_jit(
     # noise_tile > 1 replicates one noise draw across that many batch groups —
     # the batched-5-pass inverse path then exactly reproduces the serial loop,
     # which reseeds identically per pass (ref: model_diffusion_renderer.py:216).
-    noise = jax.random.normal(
-        key, (b // noise_tile, lt, lh, lw, c_lat), jnp.float32
-    )
-    x_init = (jnp.tile(noise, (noise_tile, 1, 1, 1, 1)) * sigmas[0]).astype(
-        compute_dtype
-    )
+    if x_init_override is not None:
+        x_init = x_init_override.astype(compute_dtype)
+    else:
+        noise = jax.random.normal(
+            key, (b // noise_tile, lt, lh, lw, c_lat), jnp.float32
+        )
+        x_init = (jnp.tile(noise, (noise_tile, 1, 1, 1, 1)) * sigmas[0]).astype(
+            compute_dtype
+        )
 
     ctx = context_index.reshape(b).astype(jnp.int32)
 
@@ -168,10 +182,11 @@ def _generate_jit(
 
     # Decode: vae.decode(x / sigma_data) (ref:
     # model_diffusion_renderer.py:148-156; pipeline.py:296).
-    video = vae_decode(
-        vae_params, (sample / cfg.scheduler.sigma_data).astype(compute_dtype),
-        cfg.vae,
-    ).astype(jnp.float32)
+    descaled = (sample / cfg.scheduler.sigma_data).astype(compute_dtype)
+    if identity_vae:
+        video = descaled.astype(jnp.float32)
+    else:
+        video = vae_decode(vae_params, descaled, cfg.vae).astype(jnp.float32)
 
     # Renormalize + blend by magnitude, applied per sample via normal_mask —
     # a (B,) 0/1 selector so a batched 5-pass inverse run normalizes only its
