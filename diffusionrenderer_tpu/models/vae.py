@@ -493,3 +493,53 @@ def vae_decode_chunked(
         for i in range(0, b, max_batch)
     ]
     return jnp.concatenate(outs, axis=0)
+
+
+def vae_encode_temporal_chunks(
+    params: Params,
+    x: jax.Array,
+    cfg: VAEConfig,
+    pixel_chunk_duration: int,
+    max_batch: int = 8,
+) -> jax.Array:
+    """Long-video encode by temporal chunking: reshape
+    (B, n*t, H, W, C) -> (B*n, t, H, W, C), micro-batch through the encoder,
+    reassemble on the latent time axis.
+
+    TPU equivalent of the legacy tokenizer's chunked path
+    (ref: pretrained_vae.py:367-403: transform_encode_state_shape +
+    max_enc_batch_size micro-batching).  Each chunk is encoded causally from
+    its own first frame, exactly like the reference's chunk semantics.
+    """
+    b, t, h, w, c = x.shape
+    if t % pixel_chunk_duration != 0:
+        raise ValueError(
+            f"T={t} not divisible by pixel_chunk_duration={pixel_chunk_duration}"
+        )
+    n = t // pixel_chunk_duration
+    xc = x.reshape(b * n, pixel_chunk_duration, h, w, c)
+    z = vae_encode_chunked(params, xc, cfg, max_batch=max_batch)
+    lt = z.shape[1]
+    return z.reshape(b, n * lt, h // cfg.spatial_compression_ratio,
+                     w // cfg.spatial_compression_ratio, cfg.latent_channels)
+
+
+def vae_decode_temporal_chunks(
+    params: Params,
+    z: jax.Array,
+    cfg: VAEConfig,
+    latent_chunk_duration: int,
+    max_batch: int = 4,
+) -> jax.Array:
+    """Inverse of vae_encode_temporal_chunks
+    (ref: pretrained_vae.py:377-383,405-421)."""
+    b, t, h, w, c = z.shape
+    if t % latent_chunk_duration != 0:
+        raise ValueError(
+            f"latent T={t} not divisible by {latent_chunk_duration}"
+        )
+    n = t // latent_chunk_duration
+    zc = z.reshape(b * n, latent_chunk_duration, h, w, c)
+    y = vae_decode_chunked(params, zc, cfg, max_batch=max_batch)
+    pt = y.shape[1]
+    return y.reshape(b, n * pt, *y.shape[2:])
