@@ -47,6 +47,9 @@ def load_pipeline(
     dtype: jnp.dtype = jnp.bfloat16,
     compute_dtype: str = "bfloat16",
     vae_config_json: Optional[str] = None,
+    quantize_int8: bool = False,
+    net_config: Optional[DiTConfig] = None,
+    vae_config: Optional[VAEConfig] = None,
 ) -> DiffusionRendererPipeline:
     """Build a pipeline (LoadDiffusionRendererModel equivalent,
     ref: nodes.py:61-127; defaults guidance=0.0 / num_steps=15 / seed=42
@@ -58,17 +61,20 @@ def load_pipeline(
     """
     from .checkpoint import load_dit_checkpoint
 
-    net_cfg = (
-        DiTConfig(additional_concat_ch=16, use_context_embedding=True)
-        if model_type == "inverse"
-        else DiTConfig(additional_concat_ch=17 * 8, use_context_embedding=False)
-    )
+    if net_config is not None:
+        net_cfg = net_config
+    elif model_type == "inverse":
+        net_cfg = DiTConfig(additional_concat_ch=16, use_context_embedding=True)
+    else:
+        net_cfg = DiTConfig(additional_concat_ch=17 * 8,
+                            use_context_embedding=False)
     if dit_checkpoint is not None:
-        dit_params = load_dit_checkpoint(dit_checkpoint, net_cfg, dtype)
+        dit_params = load_dit_checkpoint(dit_checkpoint, net_cfg, dtype,
+                                         quantize_int8=quantize_int8)
     else:
         dit_params = init_dit_params(jax.random.key(0), net_cfg, dtype)
 
-    vae_cfg = VAEConfig()
+    vae_cfg = vae_config if vae_config is not None else VAEConfig()
     if vae_checkpoint is not None:
         from .checkpoint_vae import load_vae_checkpoint
 
@@ -92,6 +98,8 @@ def load_pipeline(
         num_steps=num_steps,
         seed=seed,
         compute_dtype=compute_dtype,
+        net_config=net_config,
+        vae_config=vae_config,
     )
 
 

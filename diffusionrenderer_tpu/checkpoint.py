@@ -66,11 +66,16 @@ def convert_dit_state_dict(
     cfg: DiTConfig,
     dtype: jnp.dtype = jnp.bfloat16,
     prefix: str = "net.",
+    quantize_int8: bool = False,
 ) -> Params:
     """Convert a reference-format torch state dict into our DiT pytree.
 
     Raises KeyError on missing parameters and ValueError on unconsumed ones
     (strict in both directions).
+
+    quantize_int8=True quantizes the stacked per-block matmul weights to
+    weight-only int8 ON THE HOST (numpy) before device placement — the
+    single-chip deployment path for the 7B model (models/quant.py).
     """
     sd = {k: v for k, v in state_dict.items()}
     consumed = set()
@@ -92,6 +97,15 @@ def convert_dit_state_dict(
             np.stack([take(fmt.format(i=i)).T for i in range(nb)]), dtype
         )
 
+    def stack_matmul(fmt: str):
+        """Big matmul weights: optionally host-quantized to int8."""
+        stacked = np.stack([take(fmt.format(i=i)).T for i in range(nb)])
+        if quantize_int8:
+            from .models.quant import quantize_tensor_host
+
+            return quantize_tensor_host(stacked)
+        return jnp.asarray(stacked, dtype)
+
     def stack_vec(fmt: str) -> jnp.ndarray:
         return jnp.asarray(
             np.stack([take(fmt.format(i=i)) for i in range(nb)]), dtype
@@ -102,10 +116,10 @@ def convert_dit_state_dict(
         return {
             "adaln_w1": stack_linear(base + "adaLN_modulation.1.weight"),
             "adaln_w2": stack_linear(base + "adaLN_modulation.2.weight"),
-            "wq": stack_linear(base + "block.attn.to_q.0.weight"),
-            "wk": stack_linear(base + "block.attn.to_k.0.weight"),
-            "wv": stack_linear(base + "block.attn.to_v.0.weight"),
-            "wo": stack_linear(base + "block.attn.to_out.0.weight"),
+            "wq": stack_matmul(base + "block.attn.to_q.0.weight"),
+            "wk": stack_matmul(base + "block.attn.to_k.0.weight"),
+            "wv": stack_matmul(base + "block.attn.to_v.0.weight"),
+            "wo": stack_matmul(base + "block.attn.to_out.0.weight"),
             "q_norm": stack_vec(base + "block.attn.to_q.1.weight"),
             "k_norm": stack_vec(base + "block.attn.to_k.1.weight"),
         }
@@ -131,8 +145,8 @@ def convert_dit_state_dict(
                 "adaln_w2": stack_linear(
                     "blocks.block{i}.blocks.2.adaLN_modulation.2.weight"
                 ),
-                "w1": stack_linear("blocks.block{i}.blocks.2.block.layer1.weight"),
-                "w2": stack_linear("blocks.block{i}.blocks.2.block.layer2.weight"),
+                "w1": stack_matmul("blocks.block{i}.blocks.2.block.layer1.weight"),
+                "w2": stack_matmul("blocks.block{i}.blocks.2.block.layer2.weight"),
             },
         },
         "final": {
@@ -233,10 +247,15 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_dit_checkpoint(
-    path: str, cfg: DiTConfig, dtype: jnp.dtype = jnp.bfloat16
+    path: str,
+    cfg: DiTConfig,
+    dtype: jnp.dtype = jnp.bfloat16,
+    quantize_int8: bool = False,
 ) -> Params:
     """Load + convert a reference checkpoint from disk."""
-    return convert_dit_state_dict(load_torch_file(path), cfg, dtype)
+    return convert_dit_state_dict(
+        load_torch_file(path), cfg, dtype, quantize_int8=quantize_int8
+    )
 
 
 # ---------------------------------------------------------------------------

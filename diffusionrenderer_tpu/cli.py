@@ -1,0 +1,240 @@
+"""Command-line interface — the framework's user-facing surface, replacing
+the ComfyUI node graph (ref: nodes.py:335-347).
+
+    python -m diffusionrenderer_tpu.cli inverse  --input rgb.png --output-dir out/
+    python -m diffusionrenderer_tpu.cli forward  --depth d.png --normal n.png \
+        --roughness r.png --metallic m.png --basecolor b.png --env sky.hdr \
+        --output relit.png
+    python -m diffusionrenderer_tpu.cli envmap   --input sky.hdr --height 704 \
+        --width 1280 --output-prefix env
+    python -m diffusionrenderer_tpu.cli info
+
+Without --checkpoint the model is random-initialized (smoke-testing the
+plumbing); real runs pass the converted Cosmos checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _load_image(path: str) -> np.ndarray:
+    """Any image (LDR via imageio, HDR via native codec) -> (H, W, 3) fp32."""
+    from .io import load_hdr_file
+
+    if path.lower().endswith((".hdr", ".exr", ".pfm")):
+        return load_hdr_file(path)
+    import imageio.v3 as iio
+
+    img = np.asarray(iio.imread(path))
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    elif img.dtype == np.uint16:
+        img = img.astype(np.float32) / 65535.0
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    return img[..., :3].astype(np.float32)
+
+
+def _load_video(paths: List[str]) -> np.ndarray:
+    """Frame paths -> (1, T, H, W, 3) in [0, 1]."""
+    frames = [_load_image(p) for p in paths]
+    return np.stack(frames)[None]
+
+
+def _save_frames(arr: np.ndarray, out: str) -> None:
+    """(N, H, W, C) [0,1] -> PNG file(s)."""
+    import imageio.v3 as iio
+
+    arr8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    if arr8.shape[0] == 1:
+        iio.imwrite(out, arr8[0])
+        print(f"wrote {out}")
+    else:
+        base, ext = os.path.splitext(out)
+        for i, frame in enumerate(arr8):
+            path = f"{base}_{i:04d}{ext or '.png'}"
+            iio.imwrite(path, frame)
+        print(f"wrote {arr8.shape[0]} frames to {base}_*.png")
+
+
+def _build_pipeline(args, model_type: str):
+    from .api import load_pipeline
+
+    net_config = vae_config = None
+    compute_dtype = "bfloat16"
+    if getattr(args, "tiny", False):
+        # Smoke-test mode: scaled-down architecture, random weights.
+        from .config import DiTConfig, VAEConfig
+
+        net_config = DiTConfig(
+            model_channels=48, num_blocks=2, num_heads=2, adaln_lora_dim=8,
+            crossattn_emb_channels=16,
+            additional_concat_ch=16 if model_type == "inverse" else 17 * 8,
+            use_context_embedding=model_type == "inverse",
+        )
+        vae_config = VAEConfig(
+            encoder_block_out_channels=(8, 12, 16, 16),
+            decode_block_out_channels=(12, 16, 16, 16), num_layers=1,
+        )
+        compute_dtype = "float32"
+    return load_pipeline(
+        dit_checkpoint=args.checkpoint,
+        vae_checkpoint=args.vae,
+        model_type=model_type,
+        guidance=args.guidance,
+        num_steps=args.steps,
+        seed=args.seed,
+        quantize_int8=getattr(args, "int8", False),
+        net_config=net_config,
+        vae_config=vae_config,
+        compute_dtype=compute_dtype,
+        dtype=__import__("jax.numpy", fromlist=["x"]).float32
+        if getattr(args, "tiny", False)
+        else __import__("jax.numpy", fromlist=["x"]).bfloat16,
+    )
+
+
+def cmd_inverse(args) -> None:
+    from .api import inverse_render
+
+    video = _load_video(args.input)
+    pipe = _build_pipeline(args, "inverse")
+    passes = tuple(args.passes.split(","))
+    out = inverse_render(pipe, video, guidance=args.guidance, seed=args.seed,
+                         passes=passes)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for name, frames in out.items():
+        _save_frames(frames, os.path.join(args.output_dir, f"{name}.png"))
+
+
+def cmd_forward(args) -> None:
+    from .api import forward_render
+
+    pipe = _build_pipeline(args, "forward")
+    out = forward_render(
+        pipe,
+        depth=_load_video(args.depth),
+        normal=_load_video(args.normal),
+        roughness=_load_video(args.roughness),
+        metallic=_load_video(args.metallic),
+        base_color=_load_video(args.basecolor),
+        env_map=_load_image(args.env),
+        guidance=args.guidance,
+        seed=args.seed,
+        env_format=args.env_format,
+        env_brightness=args.env_brightness,
+        env_flip_horizontal=args.env_flip,
+        env_rotation=args.env_rotation,
+    )
+    _save_frames(out, args.output)
+
+
+def cmd_envmap(args) -> None:
+    from .envmap import render_projection_from_panorama
+
+    env = render_projection_from_panorama(
+        _load_image(args.input),
+        resolution=(args.height, args.width),
+        env_brightness=args.env_brightness,
+        env_flip=args.env_flip,
+        env_rot=args.env_rotation,
+        mode="direct" if args.direct else "cubemap",
+    )
+    for name in ("env_ldr", "env_log"):
+        _save_frames(np.asarray(env[name]), f"{args.output_prefix}_{name}.png")
+
+
+def cmd_info(args) -> None:
+    import jax
+
+    from .config import get_preset_config, PRESET_NAMES
+    from .models.dit import dit_param_count
+
+    info = {
+        "version": __import__("diffusionrenderer_tpu").__version__,
+        "backend": jax.devices()[0].platform,
+        "devices": len(jax.devices()),
+        "presets": {
+            name: {
+                "latent_shape": list(get_preset_config(name).latent_shape),
+                "params_b": round(
+                    dit_param_count(get_preset_config(name).net) / 1e9, 3
+                ),
+            }
+            for name in PRESET_NAMES
+        },
+    }
+    print(json.dumps(info, indent=2))
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    p = argparse.ArgumentParser(prog="diffusionrenderer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--checkpoint", default=None,
+                        help="DiT checkpoint (.pt/.safetensors); random init if omitted")
+        sp.add_argument("--vae", default=None,
+                        help="VAE checkpoint dir/file; random init if omitted")
+        sp.add_argument("--guidance", type=float, default=0.0)
+        sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--steps", type=int, default=15)
+        sp.add_argument("--int8", action="store_true",
+                        help="weight-only int8 quantization on load")
+        sp.add_argument("--tiny", action="store_true",
+                        help="scaled-down random model (plumbing smoke test)")
+
+    si = sub.add_parser("inverse", help="RGB video -> G-buffers")
+    common(si)
+    si.add_argument("--input", nargs="+", required=True, help="frame image(s)")
+    si.add_argument("--output-dir", required=True)
+    si.add_argument("--passes",
+                    default="basecolor,metallic,roughness,normal,depth")
+    si.set_defaults(fn=cmd_inverse)
+
+    sf = sub.add_parser("forward", help="G-buffers + HDR env -> RGB")
+    common(sf)
+    for g in ("depth", "normal", "roughness", "metallic", "basecolor"):
+        sf.add_argument(f"--{g}", nargs="+", required=True)
+    sf.add_argument("--env", required=True)
+    sf.add_argument("--output", required=True)
+    sf.add_argument("--env-format", dest="env_format", default="proj",
+                    choices=["proj", "proj_direct", "ball"])
+    sf.add_argument("--env-brightness", type=float, default=1.0)
+    sf.add_argument("--env-flip", action="store_true")
+    sf.add_argument("--env-rotation", type=float, default=180.0)
+    sf.set_defaults(fn=cmd_forward)
+
+    se = sub.add_parser("envmap", help="preprocess an HDR panorama")
+    se.add_argument("--input", required=True)
+    se.add_argument("--height", type=int, required=True)
+    se.add_argument("--width", type=int, required=True)
+    se.add_argument("--output-prefix", required=True)
+    se.add_argument("--env-brightness", type=float, default=1.0)
+    se.add_argument("--env-flip", action="store_true")
+    se.add_argument("--env-rotation", type=float, default=180.0)
+    se.add_argument("--direct", action="store_true")
+    se.set_defaults(fn=cmd_envmap)
+
+    so = sub.add_parser("info", help="environment + preset info")
+    so.set_defaults(fn=cmd_info)
+
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (bypass the TPU plugin)")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

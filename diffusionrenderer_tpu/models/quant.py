@@ -63,6 +63,19 @@ def quantize_dit_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def quantize_tensor_host(w) -> Dict[str, Any]:
+    """Numpy (host-side) variant of quantize_tensor — used during checkpoint
+    conversion so no fp32 device temporaries are created while the bf16
+    weights are resident (that transient OOMs a 16 GB chip)."""
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    amax = np.max(np.abs(wf), axis=-2, keepdims=True)
+    scale = np.maximum(amax / 127.0, 1e-12)
+    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(scale.squeeze(-2))}
+
+
 def dense_maybe_quantized(x: jax.Array, w: Any) -> jax.Array:
     """x @ w supporting bf16 or {'q','s'} int8 weights, fp32 accumulation."""
     if is_quantized(w):

@@ -92,7 +92,7 @@ def _prepare_latent_conditions(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_steps", "use_cfg", "present", "noise_tile",
-                     "identity_vae"),
+                     "identity_vae", "shard_tokens"),
 )
 def _generate_jit(
     dit_params,
@@ -110,9 +110,19 @@ def _generate_jit(
     present: Tuple[bool, ...],
     noise_tile: int = 1,
     identity_vae: bool = False,
+    shard_tokens: bool = False,
 ):
     """Full generation: conditions -> EDM scan -> decode -> [0,1] video."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    seq_constraint = None
+    if shard_tokens:
+        from jax.sharding import PartitionSpec as P
+
+        # Requires tracing under an active mesh (generate() enters it).
+        seq_constraint = lambda x: jax.lax.with_sharding_constraint(
+            x, P("data", "seq", None)
+        )
 
     cond_tensors = tuple(
         x.astype(compute_dtype) if x is not None else None for x in cond_tensors
@@ -151,6 +161,7 @@ def _generate_jit(
             out2 = dit_forward(
                 dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
                 lc2, ctx2, cfg.net,
+                seq_sharding_constraint=seq_constraint,
             )
             out_c, out_u = out2[:b], out2[b:]
             # net = cond + g * (cond - uncond) (ref:
@@ -167,6 +178,7 @@ def _generate_jit(
             return dit_forward(
                 dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
                 latent_condition, ctx, cfg.net,
+                seq_sharding_constraint=seq_constraint,
             )
 
     # EDM Euler trajectory as one scan (ref: model_diffusion_renderer.py:224-235).
@@ -221,6 +233,7 @@ class DiffusionRendererPipeline:
         compute_dtype: str = "bfloat16",
         net_config=None,
         vae_config=None,
+        mesh=None,
     ):
         self.dit_params = dit_params
         self.vae_params = vae_params
@@ -233,6 +246,30 @@ class DiffusionRendererPipeline:
         # ablations); None = flagship FADITV2_7B / CV8x8x8.
         self.net_config = net_config
         self.vae_config = vae_config
+        # Multi-chip execution: set via shard() — params placed per the
+        # Megatron TP layout, batches sharded over `data`.
+        self.mesh = mesh
+
+    def shard(self, mesh) -> "DiffusionRendererPipeline":
+        """Place the pipeline's params onto a (data, seq, tensor) mesh.
+
+        The reference has no distributed path at all (SURVEY.md section 2d);
+        this is the framework's multi-chip inference entry point.
+        """
+        from .parallel.sharding import (
+            dit_param_shardings,
+            shard_params,
+            vae_param_shardings,
+        )
+
+        self.dit_params = shard_params(
+            self.dit_params, dit_param_shardings(self.dit_params, mesh)
+        )
+        self.vae_params = shard_params(
+            self.vae_params, vae_param_shardings(self.vae_params, mesh)
+        )
+        self.mesh = mesh
+        return self
 
     def set_model_type(self, model_type: str) -> None:
         """(ref: diffusion_renderer_pipeline.py:99-111).  Note: inverse and
@@ -318,18 +355,29 @@ class DiffusionRendererPipeline:
         else:
             normal_mask = jnp.asarray(normalize_normal, jnp.float32).reshape(b)
 
-        video01 = _generate_jit(
-            self.dit_params,
-            self.vae_params,
-            cond_tensors,
-            ctx,
-            key,
-            jnp.asarray(self.guidance, jnp.float32),
-            normal_mask,
-            cfg=cfg,
-            num_steps=self.num_steps,
-            use_cfg=self.guidance > 0,
-            present=present,
-            noise_tile=noise_tile,
-        )
+        import contextlib
+
+        mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
+        if self.mesh is not None:
+            from .parallel.sharding import batch_sharding
+
+            bs = batch_sharding(self.mesh)
+            cond_tensors = tuple(jax.device_put(x, bs) for x in cond_tensors)
+
+        with mesh_ctx:
+            video01 = _generate_jit(
+                self.dit_params,
+                self.vae_params,
+                cond_tensors,
+                ctx,
+                key,
+                jnp.asarray(self.guidance, jnp.float32),
+                normal_mask,
+                cfg=cfg,
+                num_steps=self.num_steps,
+                use_cfg=self.guidance > 0,
+                present=present,
+                noise_tile=noise_tile,
+                shard_tokens=self.mesh is not None,
+            )
         return np.asarray((video01 * 255.0).astype(jnp.uint8))
