@@ -29,6 +29,7 @@ onto the MXU); the Haar transform is pure adds/reshapes that XLA fuses.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -47,70 +48,64 @@ _SQRT2 = math.sqrt(2.0)
 # Haar wavelet patcher (causal)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=8)
+def _haar_kernel_np(c: int):
+    """Dense (2, 2, 2, C, 8C) orthonormal Haar analysis kernel.
+
+    Output channel s*C + c_in carries subband s of input channel c_in;
+    subbands ordered (LLL, LLH, LHL, LHH, HLL, HLH, HHL, HHH) with letters in
+    (t, h, w) axis order, L=low/H=high.  Implemented as a conv so XLA keeps
+    pixel-space tensors in large-minor-dim layouts (an 8-D butterfly reshape
+    at 57x704x1280 materializes a 20 GB tile-padded intermediate).
+    """
+    import numpy as np
+
+    w = np.zeros((2, 2, 2, c, 8 * c), np.float32)
+    scale = 1.0 / math.sqrt(8.0)
+    for s in range(8):
+        signs_t = (1, 1) if not (s & 4) else (1, -1)
+        signs_h = (1, 1) if not (s & 2) else (1, -1)
+        signs_w = (1, 1) if not (s & 1) else (1, -1)
+        for dt in range(2):
+            for dh in range(2):
+                for dw in range(2):
+                    val = signs_t[dt] * signs_h[dh] * signs_w[dw] * scale
+                    for ci in range(c):
+                        w[dt, dh, dw, ci, s * c + ci] = val
+    return w
+
+
 def _haar_level(x: jax.Array) -> jax.Array:
     """One causal orthonormal 3D Haar level.
 
-    (B, T, H, W, C) -> (B, (T-1)//2+1, H/2, W/2, 8C), subband-major channel
-    layout ordered (LLL, LLH, LHL, LHH, HLL, HLH, HHL, HHH) with letters in
-    (t, h, w) axis order, L=low/H=high.
+    (B, T, H, W, C) -> (B, (T-1)//2+1, H/2, W/2, 8C).
     """
     b, t, h, w, c = x.shape
     if t % 2 == 1:
         # Causal: replicate the first frame so the leading pair is (x0, x0);
         # its high band is exactly zero and the low band is sqrt(2)*x0.
         x = jnp.concatenate([x[:, :1], x], axis=1)
-        t = t + 1
-
-    # Pairwise split along each axis.
-    x = x.reshape(b, t // 2, 2, h // 2, 2, w // 2, 2, c)
-    lo = lambda a, ax: (a.take(0, ax) + a.take(1, ax)) / _SQRT2
-    hi = lambda a, ax: (a.take(0, ax) - a.take(1, ax)) / _SQRT2
-
-    subbands = []
-    for ft in (lo, hi):
-        xt = ft(x, 2)  # (b, T2, h2, 2, w2, 2, c)
-        for fh in (lo, hi):
-            xh = fh(xt, 3)  # (b, T2, h2, w2, 2, c)
-            for fw in (lo, hi):
-                subbands.append(fw(xh, 4))  # (b, T2, h2, w2, c)
-    return jnp.concatenate(subbands, axis=-1)
+    kernel = jnp.asarray(_haar_kernel_np(c), x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
 
 
 def _haar_level_inverse(x: jax.Array, orig_t_odd: bool) -> jax.Array:
-    """Inverse of _haar_level.  x: (B, T2, H2, W2, 8C) -> (B, T, H, W, C)."""
-    b, t2, h2, w2, c8 = x.shape
-    c = c8 // 8
-    sb = [x[..., i * c : (i + 1) * c] for i in range(8)]
+    """Inverse of _haar_level.  x: (B, T2, H2, W2, 8C) -> (B, T, H, W, C).
 
-    def merge(lo_b, hi_b, axis_len_pos):
-        even = (lo_b + hi_b) / _SQRT2
-        odd = (lo_b - hi_b) / _SQRT2
-        return even, odd
-
-    # Invert along w first (innermost application order does not matter for
-    # orthogonal transforms as long as it mirrors the forward).
-    def un_w(lo_b, hi_b):
-        even, odd = merge(lo_b, hi_b, None)
-        out = jnp.stack([even, odd], axis=4)  # (b,t2,h2,w2,2,c)
-        return out.reshape(b, t2, h2, w2 * 2, c)
-
-    def un_h(lo_b, hi_b):
-        even, odd = merge(lo_b, hi_b, None)
-        out = jnp.stack([even, odd], axis=3)
-        return out.reshape(b, t2, h2 * 2, *lo_b.shape[3:])
-
-    def un_t(lo_b, hi_b):
-        even, odd = merge(lo_b, hi_b, None)
-        out = jnp.stack([even, odd], axis=2)
-        return out.reshape(b, t2 * 2, *lo_b.shape[2:])
-
-    ll = un_w(sb[0], sb[1])
-    lh = un_w(sb[2], sb[3])
-    hl = un_w(sb[4], sb[5])
-    hh = un_w(sb[6], sb[7])
-    l = un_h(ll, lh)
-    hgh = un_h(hl, hh)
-    full = un_t(l, hgh)  # (b, 2*t2, h, w, c)
+    The analysis kernel is orthonormal, so synthesis is its transpose —
+    a stride-2 transposed convolution with the same kernel.
+    """
+    c = x.shape[-1] // 8
+    kernel = jnp.asarray(_haar_kernel_np(c), x.dtype)
+    full = jax.lax.conv_transpose(
+        x, kernel, strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        transpose_kernel=True,
+    ).astype(x.dtype)
     if orig_t_odd:
         full = full[:, 1:]  # drop the replicated causal frame
     return full
@@ -200,18 +195,21 @@ def _resblock(x: jax.Array, p: Params) -> jax.Array:
 
 
 def _attn_spatial(x: jax.Array, p: Params) -> jax.Array:
-    """Single-head self-attention over (H*W) per frame."""
+    """Single-head self-attention over (H*W) per frame.
+
+    Routed through ops.attention's dispatcher: at flagship bottleneck
+    resolution (88x160 = 14,080 tokens per frame) a materialized-softmax
+    einsum would need ~6 GB of fp32 logits; the Pallas flash kernel streams
+    them (single head, head_dim = C = 512)."""
+    from ..ops.attention import attention
+
     b, t, h, w, c = x.shape
     y = group_norm_per_frame(x, p["norm"]["scale"], p["norm"]["bias"])
     y = y.reshape(b * t, h * w, c)
-    q = y @ p["wq"]["w"] + p["wq"]["b"]
-    k = y @ p["wk"]["w"] + p["wk"]["b"]
-    v = y @ p["wv"]["w"] + p["wv"]["b"]
-    logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                        preferred_element_type=jnp.float32) / math.sqrt(c)
-    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    o = jnp.einsum("bqk,bkc->bqc", attn, v,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    q = (y @ p["wq"]["w"] + p["wq"]["b"])[:, :, None, :]  # (BT, HW, 1, C)
+    k = (y @ p["wk"]["w"] + p["wk"]["b"])[:, :, None, :]
+    v = (y @ p["wv"]["w"] + p["wv"]["b"])[:, :, None, :]
+    o = attention(q, k, v)[:, :, 0, :].astype(x.dtype)
     o = o @ p["wo"]["w"] + p["wo"]["b"]
     return x + o.reshape(b, t, h, w, c)
 

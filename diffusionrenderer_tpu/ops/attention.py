@@ -80,7 +80,11 @@ def _use_pallas(q: jax.Array, k: jax.Array) -> bool:
     if not _on_tpu():
         return False
     # Tiny KV (e.g. the 1-token cross-attention) or tiny queries gain nothing.
-    return q.shape[1] >= 256 and k.shape[1] >= 256 and q.shape[-1] in (64, 128, 256)
+    return (
+        q.shape[1] >= 256
+        and k.shape[1] >= 256
+        and q.shape[-1] in (64, 128, 256, 512)
+    )
 
 
 def cross_attention_single_kv(

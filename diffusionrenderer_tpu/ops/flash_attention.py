@@ -80,13 +80,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[-1]] + pv
+    # alpha's lanes are row-replicated; broadcast one lane over head_dim
+    # (head_dim may exceed the 128-lane scratch width, e.g. the VAE's 512).
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == num_kv - 1)
     def _finalize():
-        o_ref[0] = (
-            acc_ref[...] / l_ref[..., : acc_ref.shape[-1]][..., :1]
-        ).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -118,6 +118,11 @@ def flash_attention(
 
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
+    if d > 128:
+        # Wide single-head attention (e.g. the VAE's C=512): shrink blocks to
+        # keep the fp32 accumulator + p tile inside the ~16 MB VMEM budget.
+        block_q = min(block_q, 1024)
+        block_k = min(block_k, 512)
 
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)

@@ -66,3 +66,13 @@ class TestFlashAttention:
         expected = np.asarray(attention_xla(q, k, v))
         assert np.all(np.isfinite(got))
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+    def test_wide_single_head_512(self):
+        """The VAE's single-head C=512 attention path."""
+        b, l, h, d = 2, 300, 1, 512
+        q, k, v = make_qkv(b, l, h, d, seed=4)
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=256, block_k=128, interpret=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
