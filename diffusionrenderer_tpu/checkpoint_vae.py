@@ -112,8 +112,6 @@ def convert_diffusers_vae_state_dict(
     available in this build environment; the converter fails loudly rather
     than silently mis-mapping.
     """
-    import re
-
     sd = {k: np.asarray(v.float().numpy() if hasattr(v, "float") else v)
           for k, v in sd.items()}
     params = init_vae_params(jax.random.key(0), cfg, dtype)

@@ -25,7 +25,7 @@ import dataclasses
 import hashlib
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 # Official G-buffer pass -> context_index mapping (ref: nodes.py:35-41).
 GBUFFER_INDEX_MAPPING: Dict[str, int] = {

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
-from typing import Dict, Optional, Tuple, Union
+from typing import Dict, Tuple, Union
 
 import jax
 import jax.numpy as jnp

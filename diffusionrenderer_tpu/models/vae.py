@@ -41,9 +41,6 @@ from ..config import VAEConfig
 
 Params = Dict[str, Any]
 
-_SQRT2 = math.sqrt(2.0)
-
-
 # ---------------------------------------------------------------------------
 # Haar wavelet patcher (causal)
 # ---------------------------------------------------------------------------
@@ -58,8 +55,6 @@ def _haar_kernel_np(c: int):
     pixel-space tensors in large-minor-dim layouts (an 8-D butterfly reshape
     at 57x704x1280 materializes a 20 GB tile-padded intermediate).
     """
-    import numpy as np
-
     w = np.zeros((2, 2, 2, c, 8 * c), np.float32)
     scale = 1.0 / math.sqrt(8.0)
     for s in range(8):

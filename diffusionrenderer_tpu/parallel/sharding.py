@@ -22,7 +22,7 @@ axis unsharded so lax.scan slices locally).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

@@ -25,7 +25,7 @@ Data layout: all video tensors are channels-last (B, T, H, W, C), values in
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
