@@ -46,6 +46,12 @@ def make_mesh(
     """
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"Requested a {n}-device mesh but only {len(devices)} device(s) "
+            f"are visible; for CPU testing set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n}."
+        )
     if data is None or seq is None or tensor is None:
         tensor = tensor or (2 if n % 2 == 0 else 1)
         rem = n // tensor

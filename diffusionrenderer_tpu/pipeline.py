@@ -314,6 +314,8 @@ class DiffusionRendererPipeline:
         if self.model_type is None:
             raise RuntimeError("model_type not set; call set_model_type first")
 
+        from .utils.profiling import logger, phase_timer
+
         shape_key = None
         for k in SHAPE_INFERENCE_KEYS:
             if k in data_batch:
@@ -325,6 +327,11 @@ class DiffusionRendererPipeline:
             )
         ref_tensor = jnp.asarray(data_batch[shape_key])
         cfg = self._config_for(ref_tensor.shape)
+        logger.info(
+            "generate: model_type=%s input=%s (key=%r) latent=%s steps=%d "
+            "guidance=%.2f", self.model_type, tuple(ref_tensor.shape),
+            shape_key, cfg.latent_shape, self.num_steps, self.guidance,
+        )
 
         present = tuple(
             (k in data_batch) or (k == "image" and "rgb" in data_batch)
@@ -364,7 +371,7 @@ class DiffusionRendererPipeline:
             bs = batch_sharding(self.mesh)
             cond_tensors = tuple(jax.device_put(x, bs) for x in cond_tensors)
 
-        with mesh_ctx:
+        with mesh_ctx, phase_timer(f"generate/{self.model_type}"):
             video01 = _generate_jit(
                 self.dit_params,
                 self.vae_params,
