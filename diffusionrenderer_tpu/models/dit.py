@@ -320,6 +320,11 @@ def dit_forward(
     )
     cos_sin = (jnp.cos(angles), jnp.sin(angles))
 
+    # Multi-chip: a pallas_call does not partition under SPMD; the sharded
+    # path uses XLA attention (which does) until the kernel is shard_mapped.
+    if seq_sharding_constraint is not None and attn_backend == "auto":
+        attn_backend = "xla"
+
     # 6. Scan over the stacked FA-CA-MLP blocks.
     def block_fn(carry, bp):
         y = _self_attention_block(
