@@ -92,7 +92,6 @@ def make_ring_attention(mesh: Mesh, axis_name: str = "seq"):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
     )
     def ring(q, k, v):
         return ring_attention_local(q, k, v, axis_name)
