@@ -33,6 +33,7 @@ import numpy as np
 
 from .config import (
     RendererConfig,
+    VAEConfig,
     get_config_by_model_type,
     validate_config,
 )
@@ -301,6 +302,37 @@ class DiffusionRendererPipeline:
                 f"matching checkpoint (inverse=132, forward=612)."
             )
         return cfg
+
+    def _vae_cfg(self, cfg: Optional[RendererConfig]) -> VAEConfig:
+        if cfg is not None:
+            return cfg.vae
+        return self.vae_config if self.vae_config is not None else VAEConfig()
+
+    def encode(self, x: jax.Array, cfg: Optional[RendererConfig] = None) -> jax.Array:
+        """VAE encode with EDM sigma_data scaling: vae.encode(x) * sigma_data
+        (ref: model_diffusion_renderer.py:138-146).  x: (B, T, H, W, 3)."""
+        sd = cfg.sigma_data if cfg is not None else 0.5
+        return vae_encode(self.vae_params, x, self._vae_cfg(cfg)) * sd
+
+    def decode(self, z: jax.Array, cfg: Optional[RendererConfig] = None) -> jax.Array:
+        """VAE decode with EDM scaling: vae.decode(z / sigma_data)
+        (ref: model_diffusion_renderer.py:148-156)."""
+        sd = cfg.sigma_data if cfg is not None else 0.5
+        return vae_decode(self.vae_params, z / sd, self._vae_cfg(cfg))
+
+    def reset_dtype(self, dtype) -> None:
+        """Cast all weights to a new dtype (ref: CleanVAE.py:66-67 /
+        nodes.py:90-91).  Norm/statistics leaves stay fp32; int8 quantized
+        leaves are untouched."""
+        def cast(x):
+            if x.dtype in (jnp.int8, jnp.int32, jnp.float32) and x.ndim <= 1:
+                return x
+            if x.dtype == jnp.int8:
+                return x
+            return x.astype(dtype) if x.ndim > 1 else x
+
+        self.dit_params = jax.tree.map(cast, self.dit_params)
+        self.vae_params = jax.tree.map(cast, self.vae_params)
 
     def generate(
         self,

@@ -165,3 +165,25 @@ class TestForwardAPI:
         )
         assert out.shape == (1, 16, 16, 3)
         assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+class TestModelHelpers:
+    def test_encode_decode_scaling(self, inv_pipe):
+        """encode = vae.encode * sigma_data; decode inverts the scaling
+        (ref: model_diffusion_renderer.py:138-156)."""
+        x = jax.random.normal(jax.random.key(11), (1, 1, 16, 16, 3))
+        z = inv_pipe.encode(x)
+        y = inv_pipe.decode(z)
+        assert z.shape == (1, 1, 2, 2, 16)
+        assert y.shape == x.shape
+        # sigma_data scaling is present: encode/0.5 matches raw vae encode.
+        from diffusionrenderer_tpu.models.vae import vae_encode
+        raw = vae_encode(inv_pipe.vae_params, x, TINY_VAE)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(raw) * 0.5,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_reset_dtype(self, inv_pipe):
+        import copy
+        pipe = make_pipeline("inverse")
+        pipe.reset_dtype(jnp.bfloat16)
+        assert pipe.dit_params["blocks"]["mlp"]["w1"].dtype == jnp.bfloat16
