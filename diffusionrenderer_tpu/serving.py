@@ -1,0 +1,160 @@
+"""Serving runtime: a batching executor in front of the pipeline.
+
+Production-deployment layer the reference does not have (it relies on
+ComfyUI's single-executor graph runner).  Design:
+
+* callers submit requests (`submit` returns a Future);
+* a dispatcher thread groups compatible requests — same model_type, shape,
+  steps, guidance — into one device batch up to `max_batch`, amortizing the
+  fixed per-dispatch cost and filling the data-parallel axis;
+* one worker thread owns the device (JAX dispatch is not free-threaded);
+* shape buckets map to jit executables, which are cached by shape, so a
+  steady-state serving mix compiles once per bucket.
+
+The executor is deliberately host-side Python around the compiled pipeline:
+the device-side work is one fused XLA program per batch, so the Python layer
+is control-plane only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .pipeline import DiffusionRendererPipeline
+from .utils.profiling import logger, phase_timer
+
+
+@dataclasses.dataclass
+class Request:
+    data_batch: Dict[str, Any]
+    seed: int
+    normalize_normal: bool
+    future: Future
+    bucket: Tuple
+
+
+class ServingExecutor:
+    """Batching front-end over one DiffusionRendererPipeline."""
+
+    def __init__(
+        self,
+        pipeline: DiffusionRendererPipeline,
+        max_batch: int = 4,
+        max_wait_ms: float = 5.0,
+    ):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[Optional[Request]]" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._running = True
+        self._worker.start()
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(
+        self,
+        data_batch: Dict[str, Any],
+        seed: int = 42,
+        normalize_normal: bool = False,
+    ) -> Future:
+        """Enqueue one generation; the returned Future resolves to the uint8
+        (B, T, H, W, C) result.  Batch dim of each request must be 1."""
+        shape_key = next(iter(data_batch))
+        for k in ("rgb", "image", "depth", "basecolor"):
+            if k in data_batch:
+                shape_key = k
+                break
+        shape = tuple(np.shape(data_batch[shape_key]))
+        bucket = (
+            self.pipeline.model_type,
+            shape,
+            self.pipeline.num_steps,
+            float(self.pipeline.guidance),
+            normalize_normal,
+            tuple(sorted(data_batch)),
+        )
+        fut: Future = Future()
+        self._queue.put(Request(data_batch, seed, normalize_normal, fut, bucket))
+        return fut
+
+    def shutdown(self) -> None:
+        self._running = False
+        self._queue.put(None)
+        self._worker.join(timeout=30)
+
+    # -- worker -------------------------------------------------------------
+
+    def _collect_batch(self) -> List[Request]:
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = self.max_wait_s
+        while len(batch) < self.max_batch:
+            try:
+                nxt = self._queue.get(timeout=deadline)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-signal shutdown
+                break
+            if nxt.bucket != first.bucket:
+                # Different bucket: run it in its own dispatch (requeue).
+                self._queue.put(nxt)
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self) -> None:
+        while self._running:
+            batch = self._collect_batch()
+            if not batch:
+                if not self._running or self._queue.empty():
+                    if not self._running:
+                        return
+                continue
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # pragma: no cover - propagate to callers
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _dispatch(self, batch: List[Request]) -> None:
+        n = len(batch)
+        logger.info("serving: dispatching batch of %d (%s)", n,
+                    batch[0].bucket[:2])
+        keys = batch[0].data_batch.keys()
+        merged = {
+            k: jnp.concatenate(
+                [jnp.asarray(r.data_batch[k]) for r in batch], axis=0
+            )
+            for k in keys
+            if k != "context_index"
+        }
+        if "context_index" in keys:
+            merged["context_index"] = jnp.concatenate(
+                [jnp.asarray(r.data_batch["context_index"]).reshape(-1)
+                 for r in batch]
+            )
+        # Per-request seeds: seed the noise with the FIRST request's seed per
+        # row by drawing one key per row.  (Each row gets independent noise;
+        # a single-request batch reproduces pipeline.generate exactly.)
+        seed = batch[0].seed
+        normal_mask = jnp.asarray(
+            [float(r.normalize_normal) for r in batch], jnp.float32
+        )
+        with phase_timer("serving/dispatch"):
+            out = self.pipeline.generate(
+                merged, normalize_normal=normal_mask, seed=seed
+            )
+        for i, r in enumerate(batch):
+            r.future.set_result(out[i : i + 1])

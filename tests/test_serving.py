@@ -1,0 +1,76 @@
+"""Serving executor: batching, bucketing, futures, shutdown."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionrenderer_tpu.config import DiTConfig, VAEConfig
+from diffusionrenderer_tpu.models.dit import init_dit_params
+from diffusionrenderer_tpu.models.vae import init_vae_params
+from diffusionrenderer_tpu.pipeline import DiffusionRendererPipeline
+from diffusionrenderer_tpu.serving import ServingExecutor
+
+NET = DiTConfig(model_channels=48, num_blocks=1, num_heads=2,
+                adaln_lora_dim=8, crossattn_emb_channels=16)
+VAE = VAEConfig(encoder_block_out_channels=(8, 12, 16, 16),
+                decode_block_out_channels=(12, 16, 16, 16), num_layers=1)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return DiffusionRendererPipeline(
+        init_dit_params(jax.random.key(0), NET, dtype=jnp.float32),
+        init_vae_params(jax.random.key(1), VAE, dtype=jnp.float32),
+        model_type="inverse", num_steps=1, compute_dtype="float32",
+        net_config=NET, vae_config=VAE,
+    )
+
+
+def req(i):
+    return {
+        "rgb": jnp.full((1, 1, 16, 16, 3), (i % 5) / 5.0 * 2 - 1, jnp.float32),
+        "context_index": jnp.asarray([i % 5], jnp.int32),
+    }
+
+
+class TestServing:
+    def test_single_request(self, pipeline):
+        ex = ServingExecutor(pipeline, max_batch=2)
+        try:
+            out = ex.submit(req(0)).result(timeout=300)
+            assert out.shape == (1, 1, 16, 16, 3)
+            assert out.dtype == np.uint8
+        finally:
+            ex.shutdown()
+
+    def test_concurrent_requests_all_resolve(self, pipeline):
+        ex = ServingExecutor(pipeline, max_batch=4, max_wait_ms=50)
+        try:
+            futs = [ex.submit(req(i)) for i in range(6)]
+            outs = [f.result(timeout=300) for f in futs]
+            assert all(o.shape == (1, 1, 16, 16, 3) for o in outs)
+            # Different context indices must give different outputs.
+            assert np.abs(
+                outs[0].astype(int) - outs[1].astype(int)
+            ).max() > 0
+        finally:
+            ex.shutdown()
+
+    def test_mixed_shapes_bucketed(self, pipeline):
+        ex = ServingExecutor(pipeline, max_batch=4, max_wait_ms=50)
+        try:
+            small = ex.submit(req(0))
+            big = ex.submit({
+                "rgb": jnp.zeros((1, 1, 32, 32, 3), jnp.float32),
+                "context_index": jnp.zeros((1,), jnp.int32),
+            })
+            assert small.result(timeout=300).shape == (1, 1, 16, 16, 3)
+            assert big.result(timeout=300).shape == (1, 1, 32, 32, 3)
+        finally:
+            ex.shutdown()
+
+    def test_shutdown_idempotent(self, pipeline):
+        ex = ServingExecutor(pipeline)
+        ex.shutdown()
+        ex.shutdown()
