@@ -211,8 +211,12 @@ def _generate_jit(
     sel = normal_mask.astype(jnp.float32)[:, None, None, None, None]
     video = renormed * sel + video * (1.0 - sel)
 
-    # [-1,1] -> [0,1] (ref: diffusion_renderer_pipeline.py:313-318).
-    return jnp.clip(1.0 + video, 0.0, 2.0) / 2.0
+    # [-1,1] -> [0,1] -> uint8, all on device (ref:
+    # diffusion_renderer_pipeline.py:313-318) — doing the quantization inside
+    # the compiled program avoids a tile-padded eager fp32 buffer at full
+    # video resolution and shrinks the device->host transfer 4x.
+    video01 = jnp.clip(1.0 + video, 0.0, 2.0) / 2.0
+    return (video01 * 255.0).astype(jnp.uint8)
 
 
 class DiffusionRendererPipeline:
@@ -404,7 +408,7 @@ class DiffusionRendererPipeline:
             cond_tensors = tuple(jax.device_put(x, bs) for x in cond_tensors)
 
         with mesh_ctx, phase_timer(f"generate/{self.model_type}"):
-            video01 = _generate_jit(
+            video_u8 = _generate_jit(
                 self.dit_params,
                 self.vae_params,
                 cond_tensors,
@@ -419,4 +423,4 @@ class DiffusionRendererPipeline:
                 noise_tile=noise_tile,
                 shard_tokens=self.mesh is not None,
             )
-        return np.asarray((video01 * 255.0).astype(jnp.uint8))
+        return np.asarray(video_u8)
