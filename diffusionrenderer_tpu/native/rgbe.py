@@ -96,3 +96,43 @@ def save_hdr(path: str, img: np.ndarray) -> None:
     )
     if rc != 0:
         raise ValueError(f"rgbe_write failed (code {rc}) for {path}")
+
+
+def load_batch(paths, num_threads: int = 4):
+    """Decode many .hdr files concurrently on a native thread pool.
+
+    Returns a list of (H, W, 3) float32 arrays; raises listing any file that
+    failed.  Used for frame-sequence HDRI environments.
+    """
+    lib = _load()
+    n = len(paths)
+    if n == 0:
+        return []
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.rgbe_read_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(fp), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.rgbe_read_batch.restype = ctypes.c_int
+
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = (fp * n)()
+    ws = (ctypes.c_int * n)()
+    hs = (ctypes.c_int * n)()
+    status = (ctypes.c_int * n)()
+    lib.rgbe_read_batch(c_paths, n, num_threads, outs, ws, hs, status)
+
+    results, failures = [], []
+    for i in range(n):
+        if status[i] != 0 or not outs[i]:
+            failures.append((paths[i], status[i]))
+            results.append(None)
+            continue
+        m = ws[i] * hs[i] * 3
+        arr = np.ctypeslib.as_array(outs[i], shape=(m,)).copy()
+        lib.drtpu_free(outs[i])
+        results.append(arr.reshape(hs[i], ws[i], 3))
+    if failures:
+        raise ValueError(f"batch HDR load failures: {failures}")
+    return results

@@ -237,3 +237,43 @@ int pfm_read(const char* path, float** out, int* out_w, int* out_h,
 void drtpu_free(float* p) { free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded batch loading: decode N files on a worker pool (frame sequences,
+// per-frame HDRI environments).  Results are written into caller-indexed
+// slots; per-file status codes are returned so one bad frame doesn't kill
+// the batch.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+extern "C" {
+
+// paths: array of n C strings.  outs[i] receives a malloc'd buffer
+// (ws[i]*hs[i]*3 floats) on success; status[i] = rgbe_read return code.
+int rgbe_read_batch(const char** paths, int n, int num_threads,
+                    float** outs, int* ws, int* hs, int* status) {
+  if (n <= 0) return 0;
+  num_threads = num_threads > 0 ? num_threads : 4;
+  if (num_threads > n) num_threads = n;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      outs[i] = nullptr;
+      ws[i] = hs[i] = 0;
+      status[i] = rgbe_read(paths[i], &outs[i], &ws[i], &hs[i]);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  for (int i = 0; i < n; ++i)
+    if (status[i] != 0) return 1;  // caller inspects per-file status
+  return 0;
+}
+
+}  // extern "C"

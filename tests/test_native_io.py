@@ -108,3 +108,24 @@ class TestPFM:
         loaded = rgbe.load(path)
         assert loaded.shape == (8, 8, 3)
         np.testing.assert_allclose(loaded[..., 0], img[..., 0], rtol=1e-6)
+
+
+class TestBatchLoad:
+    def test_threaded_batch(self, hdr_img, tmp_path):
+        paths = []
+        for i in range(6):
+            p = str(tmp_path / f"b{i}.hdr")
+            rgbe.save_hdr(p, hdr_img * (i + 1))
+            paths.append(p)
+        outs = rgbe.load_batch(paths, num_threads=3)
+        assert len(outs) == 6
+        for i, out in enumerate(outs):
+            bound = (hdr_img * (i + 1)).max(-1, keepdims=True) / 128.0 + 1e-6
+            assert np.all(np.abs(out - hdr_img * (i + 1)) <= bound)
+
+    def test_batch_failure_reported(self, tmp_path):
+        with pytest.raises(ValueError, match="failures"):
+            rgbe.load_batch([str(tmp_path / "missing.hdr")])
+
+    def test_empty_batch(self):
+        assert rgbe.load_batch([]) == []
