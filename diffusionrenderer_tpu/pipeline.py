@@ -219,6 +219,117 @@ def _generate_jit(
     return (video01 * 255.0).astype(jnp.uint8)
 
 
+# --- Staged variants -------------------------------------------------------
+# The fused _generate_jit holds VAE-encode, the denoise scan, and VAE-decode
+# buffers in ONE program; at the flagship shape (57f x 704x1280 + 7B int8
+# weights) its peak exceeds the ~14.5 GiB chip.  The staged path runs the
+# three phases as separate programs so XLA frees each phase's buffers before
+# the next — same math, one extra host sync per phase boundary (negligible
+# against the multi-second denoise scan).
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "present", "identity_vae"))
+def _encode_conditions_jit(vae_params, cond_tensors, *, cfg, present,
+                           identity_vae=False):
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    cond_tensors = tuple(
+        x.astype(compute_dtype) if x is not None else None
+        for x in cond_tensors
+    )
+    return _prepare_latent_conditions(
+        None, vae_params, cond_tensors, present, cfg,
+        identity_vae=identity_vae,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_steps", "use_cfg", "noise_tile",
+                     "shard_tokens"),
+)
+def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
+                *, cfg, num_steps, use_cfg, noise_tile=1, shard_tokens=False):
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    seq_constraint = None
+    if shard_tokens:
+        from jax.sharding import PartitionSpec as P
+
+        seq_constraint = lambda x: jax.lax.with_sharding_constraint(
+            x, P("data", "seq", None)
+        )
+
+    latent_condition = latent_condition.astype(compute_dtype)
+    b, lt, lh, lw, _ = latent_condition.shape
+    c_lat = cfg.vae.latent_channels
+    sigmas = edm_sigmas(num_steps, cfg.scheduler.sigma_max,
+                        cfg.scheduler.sigma_min)
+    noise = jax.random.normal(
+        key, (b // noise_tile, lt, lh, lw, c_lat), jnp.float32
+    )
+    x_init = (jnp.tile(noise, (noise_tile, 1, 1, 1, 1)) * sigmas[0]).astype(
+        compute_dtype
+    )
+    ctx = context_index.reshape(b).astype(jnp.int32)
+
+    if use_cfg:
+        lc2 = jnp.concatenate(
+            [latent_condition, jnp.zeros_like(latent_condition)], axis=0
+        )
+        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+
+        def denoise_fn(x_scaled, sigma):
+            x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
+            out2 = dit_forward(
+                dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
+                lc2, ctx2, cfg.net,
+                seq_sharding_constraint=seq_constraint,
+            )
+            out_c, out_u = out2[:b], out2[b:]
+            g = guidance.astype(jnp.float32)
+            return (
+                out_c.astype(jnp.float32)
+                + g * (out_c.astype(jnp.float32) - out_u.astype(jnp.float32))
+            ).astype(compute_dtype)
+
+    else:
+
+        def denoise_fn(x_scaled, sigma):
+            return dit_forward(
+                dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
+                latent_condition, ctx, cfg.net,
+                seq_sharding_constraint=seq_constraint,
+            )
+
+    pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
+
+    def step(x, pair):
+        sigma, sigma_next = pair[0], pair[1]
+        x_scaled = scale_model_input(x, sigma, cfg.scheduler.sigma_data)
+        f = denoise_fn(x_scaled, sigma)
+        return edm_step(f, sigma, sigma_next, x, cfg.scheduler.sigma_data), None
+
+    sample, _ = jax.lax.scan(step, x_init, pairs)
+    return sample
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _decode_jit(vae_params, sample, normal_mask, *, cfg):
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    descaled = (sample / cfg.scheduler.sigma_data).astype(compute_dtype)
+    video = vae_decode(vae_params, descaled, cfg.vae).astype(jnp.float32)
+    norm = jnp.linalg.norm(video, axis=-1, keepdims=True)
+    normalized = video / jnp.clip(norm, 1e-12, None)
+    blend = jnp.clip((norm - 0.2) / (0.4 - 0.2), 0.0, 1.0)
+    renormed = normalized * blend + video * (1.0 - blend)
+    sel = normal_mask.astype(jnp.float32)[:, None, None, None, None]
+    video = renormed * sel + video * (1.0 - sel)
+    video01 = jnp.clip(1.0 + video, 0.0, 2.0) / 2.0
+    return (video01 * 255.0).astype(jnp.uint8)
+
+
 class DiffusionRendererPipeline:
     """Holds model params and dispatches jitted generations.
 
@@ -344,9 +455,16 @@ class DiffusionRendererPipeline:
         normalize_normal=False,
         seed: Optional[int] = None,
         noise_tile: int = 1,
+        staged: bool = True,
     ) -> np.ndarray:
         """Run one generation; returns uint8 (B, T, H, W, C) on host
-        (ref: diffusion_renderer_pipeline.py:242-320)."""
+        (ref: diffusion_renderer_pipeline.py:242-320).
+
+        staged=True (default) runs condition-encode / denoise / decode as
+        three programs so each phase's buffers are freed before the next —
+        required for flagship shapes on a single 16 GB chip; staged=False
+        fuses everything into one program (lowest overhead at small shapes).
+        """
         if self.model_type is None:
             raise RuntimeError("model_type not set; call set_model_type first")
 
@@ -408,19 +526,43 @@ class DiffusionRendererPipeline:
             cond_tensors = tuple(jax.device_put(x, bs) for x in cond_tensors)
 
         with mesh_ctx, phase_timer(f"generate/{self.model_type}"):
-            video_u8 = _generate_jit(
-                self.dit_params,
-                self.vae_params,
-                cond_tensors,
-                ctx,
-                key,
-                jnp.asarray(self.guidance, jnp.float32),
-                normal_mask,
-                cfg=cfg,
-                num_steps=self.num_steps,
-                use_cfg=self.guidance > 0,
-                present=present,
-                noise_tile=noise_tile,
-                shard_tokens=self.mesh is not None,
-            )
+            if staged:
+                with phase_timer("generate/encode_conditions"):
+                    latent_condition = _encode_conditions_jit(
+                        self.vae_params, cond_tensors, cfg=cfg, present=present
+                    )
+                with phase_timer("generate/denoise"):
+                    sample = _sample_jit(
+                        self.dit_params,
+                        latent_condition,
+                        ctx,
+                        key,
+                        jnp.asarray(self.guidance, jnp.float32),
+                        cfg=cfg,
+                        num_steps=self.num_steps,
+                        use_cfg=self.guidance > 0,
+                        noise_tile=noise_tile,
+                        shard_tokens=self.mesh is not None,
+                    )
+                del latent_condition
+                with phase_timer("generate/decode"):
+                    video_u8 = _decode_jit(
+                        self.vae_params, sample, normal_mask, cfg=cfg
+                    )
+            else:
+                video_u8 = _generate_jit(
+                    self.dit_params,
+                    self.vae_params,
+                    cond_tensors,
+                    ctx,
+                    key,
+                    jnp.asarray(self.guidance, jnp.float32),
+                    normal_mask,
+                    cfg=cfg,
+                    num_steps=self.num_steps,
+                    use_cfg=self.guidance > 0,
+                    present=present,
+                    noise_tile=noise_tile,
+                    shard_tokens=self.mesh is not None,
+                )
         return np.asarray(video_u8)
