@@ -3,6 +3,8 @@ from bench import _init_bf16
 from diffusionrenderer_tpu.config import DiTConfig, VAEConfig
 from diffusionrenderer_tpu.models.vae import init_vae_params
 from diffusionrenderer_tpu.pipeline import DiffusionRendererPipeline
+from diffusionrenderer_tpu.utils.profiling import metrics
+import logging; logging.basicConfig(level=logging.INFO)
 
 net = DiTConfig()
 dit = _init_bf16(net, jax.random.key(0), jnp.bfloat16, int8_weights=True)
@@ -12,7 +14,9 @@ video = jax.random.uniform(jax.random.key(2), (1, 57, 704, 1280, 3), jnp.bfloat1
 batch = {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}
 t0 = time.perf_counter()
 out = pipe.generate(batch, seed=42)
-print(f"E2E_COMPILE_AND_RUN_S {time.perf_counter()-t0:.1f} out={out.shape} {out.dtype}")
+print(f"E2E_COMPILE_AND_RUN_S {time.perf_counter()-t0:.1f} out={out.shape} {out.dtype}", flush=True)
 t0 = time.perf_counter()
 out = pipe.generate({"rgb": video * 0.99, "context_index": jnp.zeros((1,), jnp.int32)}, seed=43)
-print(f"E2E_STEADY_S {time.perf_counter()-t0:.1f}")
+print(f"E2E_STEADY_S {time.perf_counter()-t0:.1f}", flush=True)
+import json
+print(json.dumps(metrics.summary(), indent=1), flush=True)

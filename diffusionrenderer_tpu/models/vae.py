@@ -88,21 +88,29 @@ def _haar_level(x: jax.Array) -> jax.Array:
     ).astype(x.dtype)
 
 
-def _haar_level_inverse(x: jax.Array, orig_t_odd: bool) -> jax.Array:
-    """Inverse of _haar_level.  x: (B, T2, H2, W2, 8C) -> (B, T, H, W, C).
+def _haar_level_inverse(
+    x: jax.Array, orig_t_odd: bool, out_layout: str = "NDHWC"
+) -> jax.Array:
+    """Inverse of _haar_level.  x: (B, T2, H2, W2, 8C) -> (B, T, H, W, C)
+    (or (B, C, T, H, W) with out_layout='NCDHW').
 
     The analysis kernel is orthonormal, so synthesis is its transpose —
-    a stride-2 transposed convolution with the same kernel.
+    a stride-2 transposed convolution with the same kernel.  The NCDHW
+    output option exists because a tiled (..., W, 3) buffer lane-pads 3->128
+    (42x) — at 57f x 704x1280 that is a ~6.5 GB intermediate; putting (H, W)
+    minor instead tiles perfectly.
     """
     c = x.shape[-1] // 8
     kernel = jnp.asarray(_haar_kernel_np(c), x.dtype)
     full = jax.lax.conv_transpose(
         x, kernel, strides=(2, 2, 2), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        dimension_numbers=("NDHWC", "DHWIO", out_layout),
         transpose_kernel=True,
     ).astype(x.dtype)
     if orig_t_odd:
-        full = full[:, 1:]  # drop the replicated causal frame
+        # Drop the replicated causal frame (time axis position depends on
+        # the output layout).
+        full = full[:, :, 1:] if out_layout == "NCDHW" else full[:, 1:]
     return full
 
 
@@ -112,14 +120,21 @@ def haar_patch(x: jax.Array, levels: int) -> jax.Array:
     return x
 
 
-def haar_unpatch(x: jax.Array, levels: int, orig_t: int) -> jax.Array:
-    """Inverse recursive Haar; orig_t is the pixel frame count to restore."""
+def haar_unpatch(
+    x: jax.Array, levels: int, orig_t: int, out_layout: str = "NDHWC"
+) -> jax.Array:
+    """Inverse recursive Haar; orig_t is the pixel frame count to restore.
+    out_layout applies to the FINAL (pixel-space) level only."""
     # Track the frame counts the forward pass saw at each level.
     ts = [orig_t]
     for _ in range(levels):
         ts.append((ts[-1] - 1) // 2 + 1 if ts[-1] % 2 == 1 else ts[-1] // 2)
     for lvl in reversed(range(levels)):
-        x = _haar_level_inverse(x, orig_t_odd=(ts[lvl] % 2 == 1))
+        x = _haar_level_inverse(
+            x,
+            orig_t_odd=(ts[lvl] % 2 == 1),
+            out_layout=out_layout if lvl == 0 else "NDHWC",
+        )
     return x
 
 
@@ -430,8 +445,11 @@ def vae_encode(params: Params, x: jax.Array, cfg: VAEConfig) -> jax.Array:
     return zf.astype(z.dtype)
 
 
-def vae_decode(params: Params, z: jax.Array, cfg: VAEConfig) -> jax.Array:
-    """Normalized latent (B, T', H', W', 16) -> (B, T, 8H', 8W', 3)."""
+def vae_decode(params: Params, z: jax.Array, cfg: VAEConfig,
+               out_layout: str = "NDHWC") -> jax.Array:
+    """Normalized latent (B, T', H', W', 16) -> (B, T, 8H', 8W', 3)
+    (or (B, 3, T, 8H', 8W') with out_layout='NCDHW' — the memory-friendly
+    layout for large frames, see _haar_level_inverse)."""
     levels = int(math.log2(cfg.patch_size))
     dec = params["decoder"]
 
@@ -456,7 +474,7 @@ def vae_decode(params: Params, z: jax.Array, cfg: VAEConfig) -> jax.Array:
     h = causal_conv3d(h, dec["conv_out"]["w"], dec["conv_out"]["b"])
 
     pixel_t = cfg.pixel_num_frames(t_lat)
-    return haar_unpatch(h, levels, pixel_t)
+    return haar_unpatch(h, levels, pixel_t, out_layout=out_layout)
 
 
 def vae_encode_chunked(

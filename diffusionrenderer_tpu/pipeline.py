@@ -314,13 +314,94 @@ def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
     return sample
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "use_cfg", "noise_tile", "shard_tokens"),
+)
+def _sample_segment_jit(dit_params, latent_condition, context_index, x,
+                        guidance, sigma_pairs, *, cfg, use_cfg,
+                        noise_tile=1, shard_tokens=False):
+    """Run a SLICE of the denoise trajectory: x over sigma_pairs (k, 2).
+
+    Exists because this environment's TPU worker kills executions running
+    longer than some tens of seconds ("kernel fault" crash); the host
+    dispatches the 15-step flagship trajectory as short segments, carrying x
+    on-device between dispatches.  Identical math to _sample_jit.
+    """
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    seq_constraint = None
+    if shard_tokens:
+        from jax.sharding import PartitionSpec as P
+
+        seq_constraint = lambda xx: jax.lax.with_sharding_constraint(
+            xx, P("data", "seq", None)
+        )
+
+    latent_condition = latent_condition.astype(compute_dtype)
+    b = latent_condition.shape[0]
+    x = x.astype(compute_dtype)
+    ctx = context_index.reshape(b).astype(jnp.int32)
+
+    if use_cfg:
+        lc2 = jnp.concatenate(
+            [latent_condition, jnp.zeros_like(latent_condition)], axis=0
+        )
+        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+
+        def denoise_fn(x_scaled, sigma):
+            x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
+            out2 = dit_forward(
+                dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
+                lc2, ctx2, cfg.net,
+                seq_sharding_constraint=seq_constraint,
+            )
+            out_c, out_u = out2[:b], out2[b:]
+            g = guidance.astype(jnp.float32)
+            return (
+                out_c.astype(jnp.float32)
+                + g * (out_c.astype(jnp.float32) - out_u.astype(jnp.float32))
+            ).astype(compute_dtype)
+
+    else:
+
+        def denoise_fn(x_scaled, sigma):
+            return dit_forward(
+                dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
+                latent_condition, ctx, cfg.net,
+                seq_sharding_constraint=seq_constraint,
+            )
+
+    def step(x, pair):
+        sigma, sigma_next = pair[0], pair[1]
+        x_scaled = scale_model_input(x, sigma, cfg.scheduler.sigma_data)
+        f = denoise_fn(x_scaled, sigma)
+        return edm_step(f, sigma, sigma_next, x, cfg.scheduler.sigma_data), None
+
+    x, _ = jax.lax.scan(step, x, sigma_pairs)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "noise_tile", "dtype_str"))
+def _noise_init_jit(key, sigma0, *, shape, noise_tile, dtype_str):
+    noise = jax.random.normal(
+        key, (shape[0] // noise_tile, *shape[1:]), jnp.float32
+    )
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    return (jnp.tile(noise, (noise_tile, 1, 1, 1, 1)) * sigma0).astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _decode_jit(vae_params, sample, normal_mask, *, cfg):
+    """Decode + post-process in NCTHW: keeping (H, W) as the minor dims
+    avoids a 42x lane-padded (..., 3) pixel buffer at flagship resolution.
+    Returns uint8 (B, C, T, H, W); the host transposes to channels-last."""
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
     descaled = (sample / cfg.scheduler.sigma_data).astype(compute_dtype)
-    video = vae_decode(vae_params, descaled, cfg.vae).astype(jnp.float32)
-    norm = jnp.linalg.norm(video, axis=-1, keepdims=True)
+    video = vae_decode(vae_params, descaled, cfg.vae,
+                       out_layout="NCDHW").astype(jnp.float32)
+    norm = jnp.linalg.norm(video, axis=1, keepdims=True)
     normalized = video / jnp.clip(norm, 1e-12, None)
     blend = jnp.clip((norm - 0.2) / (0.4 - 0.2), 0.0, 1.0)
     renormed = normalized * blend + video * (1.0 - blend)
@@ -365,6 +446,10 @@ class DiffusionRendererPipeline:
         # Multi-chip execution: set via shard() — params placed per the
         # Megatron TP layout, batches sharded over `data`.
         self.mesh = mesh
+        # Max denoise steps per device dispatch in the staged path (this
+        # environment's TPU worker kills executions beyond ~tens of seconds;
+        # 3 flagship steps ~ 16 s).
+        self.max_steps_per_dispatch = 3
 
     def shard(self, mesh) -> "DiffusionRendererPipeline":
         """Place the pipeline's params onto a (data, seq, tensor) mesh.
@@ -532,23 +617,41 @@ class DiffusionRendererPipeline:
                         self.vae_params, cond_tensors, cfg=cfg, present=present
                     )
                 with phase_timer("generate/denoise"):
-                    sample = _sample_jit(
-                        self.dit_params,
-                        latent_condition,
-                        ctx,
-                        key,
-                        jnp.asarray(self.guidance, jnp.float32),
-                        cfg=cfg,
-                        num_steps=self.num_steps,
-                        use_cfg=self.guidance > 0,
-                        noise_tile=noise_tile,
-                        shard_tokens=self.mesh is not None,
+                    sigmas = np.asarray(edm_sigmas(
+                        self.num_steps, cfg.scheduler.sigma_max,
+                        cfg.scheduler.sigma_min,
+                    ))
+                    b_lat = latent_condition.shape[0]
+                    state_shape = (
+                        b_lat, *latent_condition.shape[1:4],
+                        cfg.vae.latent_channels,
                     )
+                    sample = _noise_init_jit(
+                        key, float(sigmas[0]), shape=state_shape,
+                        noise_tile=noise_tile, dtype_str=cfg.compute_dtype,
+                    )
+                    pairs = np.stack([sigmas[:-1], sigmas[1:]], axis=1)
+                    seg = max(1, int(self.max_steps_per_dispatch))
+                    for start in range(0, len(pairs), seg):
+                        sample = _sample_segment_jit(
+                            self.dit_params,
+                            latent_condition,
+                            ctx,
+                            sample,
+                            jnp.asarray(self.guidance, jnp.float32),
+                            jnp.asarray(pairs[start : start + seg]),
+                            cfg=cfg,
+                            use_cfg=self.guidance > 0,
+                            noise_tile=noise_tile,
+                            shard_tokens=self.mesh is not None,
+                        )
                 del latent_condition
                 with phase_timer("generate/decode"):
                     video_u8 = _decode_jit(
                         self.vae_params, sample, normal_mask, cfg=cfg
                     )
+                # NCTHW -> NTHWC on host (cheap on uint8).
+                return np.asarray(video_u8).transpose(0, 2, 3, 4, 1)
             else:
                 video_u8 = _generate_jit(
                     self.dit_params,
