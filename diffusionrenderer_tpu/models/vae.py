@@ -259,9 +259,10 @@ def _upsample(x: jax.Array, p: Params) -> jax.Array:
     x = jnp.repeat(x, 2, axis=1)[:, 1:]
     x = causal_conv3d(x, p["conv_t"]["w"], p["conv_t"]["b"],
                       spatial_pad="none")
-    # Spatial nearest-neighbor.
+    # Spatial nearest-neighbor as ONE resize op (chained jnp.repeat would
+    # materialize an extra (T, 2H, W, C) intermediate — 1.7 GB at flagship).
     b, t, h, w, c = x.shape
-    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    x = jax.image.resize(x, (b, t, 2 * h, 2 * w, c), method="nearest")
     x = causal_conv3d(x, p["conv_s"]["w"], p["conv_s"]["b"])
     return x
 

@@ -450,6 +450,11 @@ class DiffusionRendererPipeline:
         # environment's TPU worker kills executions beyond ~tens of seconds;
         # 3 flagship steps ~ 16 s).
         self.max_steps_per_dispatch = 3
+        # Optional temporally-chunked decode (latent frames per chunk).
+        # Chunk-restart causality — the reference's own legacy long-video
+        # behavior (ref: pretrained_vae.py:367-436); bounds decoder peak
+        # memory for flagship shapes on a single 16 GB chip.
+        self.decode_chunk_frames: Optional[int] = None
 
     def shard(self, mesh) -> "DiffusionRendererPipeline":
         """Place the pipeline's params onto a (data, seq, tensor) mesh.
@@ -647,9 +652,21 @@ class DiffusionRendererPipeline:
                         )
                 del latent_condition
                 with phase_timer("generate/decode"):
-                    video_u8 = _decode_jit(
-                        self.vae_params, sample, normal_mask, cfg=cfg
-                    )
+                    ck = self.decode_chunk_frames
+                    if ck and sample.shape[1] > ck:
+                        chunks = [
+                            np.asarray(
+                                _decode_jit(self.vae_params,
+                                            sample[:, i : i + ck],
+                                            normal_mask, cfg=cfg)
+                            )
+                            for i in range(0, sample.shape[1], ck)
+                        ]
+                        video_u8 = np.concatenate(chunks, axis=2)  # T axis in NCTHW
+                    else:
+                        video_u8 = np.asarray(_decode_jit(
+                            self.vae_params, sample, normal_mask, cfg=cfg
+                        ))
                 # NCTHW -> NTHWC on host (cheap on uint8).
                 return np.asarray(video_u8).transpose(0, 2, 3, 4, 1)
             else:
