@@ -539,6 +539,37 @@ class DiffusionRendererPipeline:
         self.dit_params = jax.tree.map(cast, self.dit_params)
         self.vae_params = jax.tree.map(cast, self.vae_params)
 
+    def _decode_overlapped(self, sample, normal_mask, cfg, chunk: int,
+                           overlap: int = 1) -> np.ndarray:
+        """Decode latent-time chunks with `overlap` latents of causal context.
+
+        Bounds decoder peak memory for flagship shapes.  The first chunk's
+        frames are exact; later chunks restart the causal state `overlap`
+        latents early and keep only their non-overlap frames (each decoded
+        frame sees >= overlap latents of history).  Frame count matches the
+        unchunked decode exactly: (T_lat-1)*8+1.
+        """
+        t_lat = sample.shape[1]
+        step = chunk - overlap
+        assert step >= 1, "chunk must exceed overlap"
+        pieces = []
+        start = 0
+        while start < t_lat:
+            length = min(chunk, t_lat - start)
+            if start > 0 and length <= overlap:
+                break  # fully covered by the previous chunk
+            out = np.asarray(_decode_jit(
+                self.vae_params, sample[:, start : start + length],
+                normal_mask, cfg=cfg,
+            ))  # NCTHW, (length-1)*8+1 frames
+            if start == 0:
+                pieces.append(out)
+            else:
+                keep = 8 * (length - overlap)
+                pieces.append(out[:, :, -keep:])
+            start += step
+        return np.concatenate(pieces, axis=2)
+
     def generate(
         self,
         data_batch: Mapping[str, Any],
@@ -654,15 +685,9 @@ class DiffusionRendererPipeline:
                 with phase_timer("generate/decode"):
                     ck = self.decode_chunk_frames
                     if ck and sample.shape[1] > ck:
-                        chunks = [
-                            np.asarray(
-                                _decode_jit(self.vae_params,
-                                            sample[:, i : i + ck],
-                                            normal_mask, cfg=cfg)
-                            )
-                            for i in range(0, sample.shape[1], ck)
-                        ]
-                        video_u8 = np.concatenate(chunks, axis=2)  # T axis in NCTHW
+                        video_u8 = self._decode_overlapped(
+                            sample, normal_mask, cfg, ck
+                        )
                     else:
                         video_u8 = np.asarray(_decode_jit(
                             self.vae_params, sample, normal_mask, cfg=cfg

@@ -187,3 +187,41 @@ class TestModelHelpers:
         pipe = make_pipeline("inverse")
         pipe.reset_dtype(jnp.bfloat16)
         assert pipe.dit_params["blocks"]["mlp"]["w1"].dtype == jnp.bfloat16
+
+
+class TestOverlappedDecode:
+    def test_frame_count_and_prefix_exactness(self, inv_pipe):
+        """Overlapped chunked decode: exact frame count; the first chunk's
+        frames match the unchunked decode bit-for-bit (causality)."""
+        video = jnp.asarray(
+            np.random.default_rng(8).uniform(-1, 1, (1, 17, 16, 16, 3)),
+            jnp.float32,
+        )  # latent T = 3
+        batch = {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}
+        full = inv_pipe.generate(batch, seed=9)
+        inv_pipe.decode_chunk_frames = 2
+        try:
+            chunked = inv_pipe.generate(batch, seed=9)
+        finally:
+            inv_pipe.decode_chunk_frames = None
+        assert chunked.shape == full.shape == (1, 17, 16, 16, 3)
+        # First chunk covers latents 0..1 -> pixel frames 0..8: exact.
+        np.testing.assert_array_equal(chunked[:, :9], full[:, :9])
+        # Later frames restart the causal state one latent early — an
+        # approximation whose seam quality is a trained-weights property
+        # (random weights decorrelate on any state change), so only the
+        # structural invariants are asserted here.
+
+    def test_multi_chunk_frame_count(self, inv_pipe):
+        """Loop covers >2 chunks incl. the tail-break: (T_lat-1)*8+1 frames."""
+        video = jnp.asarray(
+            np.random.default_rng(3).uniform(-1, 1, (1, 33, 16, 16, 3)),
+            jnp.float32,
+        )  # latent T = 5
+        batch = {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}
+        inv_pipe.decode_chunk_frames = 2
+        try:
+            out = inv_pipe.generate(batch, seed=4)
+        finally:
+            inv_pipe.decode_chunk_frames = None
+        assert out.shape == (1, 33, 16, 16, 3)
