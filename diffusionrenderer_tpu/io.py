@@ -57,7 +57,7 @@ def _cv2_load(path: str) -> Optional[np.ndarray]:
 def load_hdr_file(path: str) -> np.ndarray:
     """Load .hdr/.exr/.pfm/common formats to float32 (H, W, 3)."""
     img = None
-    if path.lower().endswith((".hdr", ".pfm")):
+    if path.lower().endswith((".hdr", ".pfm", ".exr")):
         img = _native_load(path)
     if img is None:
         img = _imageio_load(path)

@@ -167,7 +167,10 @@ def _self_attention_block(
     q = _apply_rope_cached(q, cos, sin)
     k = _apply_rope_cached(k, cos, sin)
 
-    o = attention(q, k, v, backend=attn_backend)
+    if callable(attn_backend):  # sequence-parallel shard_map'd kernel
+        o = attn_backend(q, k, v)
+    else:
+        o = attention(q, k, v, backend=attn_backend)
     o = _dense(o.reshape(b, l, d), bp["wo"])
     return x + gate[:, None, :] * o
 
@@ -249,6 +252,7 @@ def dit_forward(
     crossattn_emb: Optional[jax.Array] = None,
     attn_backend: str = "auto",
     seq_sharding_constraint=None,
+    mesh=None,
     mlp_token_chunks: int = 1,
 ) -> jax.Array:
     """One denoiser evaluation F(x; sigma, condition).
@@ -320,10 +324,31 @@ def dit_forward(
     )
     cos_sin = (jnp.cos(angles), jnp.sin(angles))
 
-    # Multi-chip: a pallas_call does not partition under SPMD; the sharded
-    # path uses XLA attention (which does) until the kernel is shard_mapped.
-    if seq_sharding_constraint is not None and attn_backend == "auto":
-        attn_backend = "xla"
+    # Multi-chip: a pallas_call does not auto-partition under SPMD, so the
+    # sharded path routes attention through a shard_map'd kernel
+    # (parallel/flash_sp.py: all-gather-KV flash, or ring attention).
+    if seq_sharding_constraint is not None:
+        if attn_backend in ("flash_sp", "ring") and mesh is not None:
+            from ..parallel.flash_sp import make_sp_attention
+
+            attn_backend = make_sp_attention(
+                mesh, impl="ring" if attn_backend == "ring" else "flash"
+            )
+        elif attn_backend == "auto":
+            l_tokens = tp * hp * wp
+            divisible = mesh is not None and (
+                l_tokens % mesh.shape.get("seq", 1) == 0
+                and cfg.num_heads % mesh.shape.get("tensor", 1) == 0
+                and b % mesh.shape.get("data", 1) == 0
+            )
+            if divisible and jax.devices()[0].platform == "tpu":
+                from ..parallel.flash_sp import make_sp_attention
+
+                attn_backend = make_sp_attention(mesh, impl="flash")
+            else:
+                # CPU meshes (tests/dryrun): interpreted Pallas is far slower
+                # than XLA's partitioned einsum attention.
+                attn_backend = "xla"
 
     # 6. Scan over the stacked FA-CA-MLP blocks.
     def block_fn(carry, bp):

@@ -16,6 +16,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "hdr_codec.cc")
+_SRC_EXR = os.path.join(_HERE, "src", "exr_codec.cc")
 _LIB = os.path.join(_HERE, "libdrtpu.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -23,7 +24,8 @@ _lib: Optional[ctypes.CDLL] = None
 
 def _build() -> None:
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _LIB,
+         _SRC, _SRC_EXR, "-lz"],
         check=True,
         capture_output=True,
     )
@@ -34,8 +36,8 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_EXR))
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
             _build()
         lib = ctypes.CDLL(_LIB)
         fp = ctypes.POINTER(ctypes.c_float)
@@ -51,17 +53,32 @@ def _load() -> ctypes.CDLL:
                                  ctypes.POINTER(ctypes.c_int),
                                  ctypes.POINTER(ctypes.c_int)]
         lib.pfm_read.restype = ctypes.c_int
+        lib.exr_read.argtypes = [ctypes.c_char_p, ctypes.POINTER(fp),
+                                 ctypes.POINTER(ctypes.c_int),
+                                 ctypes.POINTER(ctypes.c_int)]
+        lib.exr_read.restype = ctypes.c_int
+        lib.exr_write.argtypes = [ctypes.c_char_p, fp, ctypes.c_int,
+                                  ctypes.c_int]
+        lib.exr_write.restype = ctypes.c_int
         lib.drtpu_free.argtypes = [fp]
         _lib = lib
         return lib
 
 
 def load(path: str) -> np.ndarray:
-    """Load .hdr (RGBE) or .pfm to float32 (H, W, 3)."""
+    """Load .hdr (RGBE), .exr (scanline OpenEXR) or .pfm to float32 (H, W, 3)."""
     lib = _load()
     fp = ctypes.POINTER(ctypes.c_float)()
     w = ctypes.c_int()
     h = ctypes.c_int()
+    if path.lower().endswith(".exr"):
+        rc = lib.exr_read(path.encode(), ctypes.byref(fp), ctypes.byref(w),
+                          ctypes.byref(h))
+        if rc != 0:
+            raise ValueError(f"exr_read failed (code {rc}) for {path}")
+        arr = np.ctypeslib.as_array(fp, shape=(h.value * w.value * 3,)).copy()
+        lib.drtpu_free(fp)
+        return arr.reshape(h.value, w.value, 3)
     if path.lower().endswith(".pfm"):
         c = ctypes.c_int()
         rc = lib.pfm_read(path.encode(), ctypes.byref(fp), ctypes.byref(w),
@@ -96,6 +113,20 @@ def save_hdr(path: str, img: np.ndarray) -> None:
     )
     if rc != 0:
         raise ValueError(f"rgbe_write failed (code {rc}) for {path}")
+
+
+def save_exr(path: str, img: np.ndarray) -> None:
+    """Write float32 (H, W, 3) as a ZIP-compressed half-float OpenEXR file."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.float32)
+    h, w, c = img.shape
+    assert c == 3, "EXR writer expects 3 channels"
+    rc = lib.exr_write(
+        path.encode(), img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w, h,
+    )
+    if rc != 0:
+        raise ValueError(f"exr_write failed (code {rc}) for {path}")
 
 
 def load_batch(paths, num_threads: int = 4):

@@ -39,7 +39,7 @@ _LOG2E = math.log2(math.e)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
-                  acc_ref, *, scale: float):
+                  acc_ref, *, has_bias: bool):
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
 
@@ -49,19 +49,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (BLK_Q, D)
+    q = q_ref[0]  # (BLK_Q, D), pre-scaled by scale*log2(e) outside the kernel
     k = k_ref[0]  # (BLK_K, D)
+    # The softmax scale and the log2(e) factor (exp2 is the native VPU op;
+    # exp lowers to exp2+mul) are folded into q BEFORE the kernel — an O(L*D)
+    # multiply instead of an O(L^2) per-tile pass.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    # Fold log2(e) into the scale and use exp2 throughout the online softmax
-    # (exp lowers to exp2 + multiply on the VPU; doing it once here measured
-    # ~4% faster at the flagship shape).
-    s = s * (scale * _LOG2E)
-    # Padded-key masking as a precomputed additive bias row (0 for valid,
-    # -1e30 for pad): one VPU add per tile — measured far cheaper than
-    # per-tile iota+select or a lax.cond on the tail block.
-    s = s + bias_ref[0][None, :]
+    if has_bias:
+        # Padded-key masking as a precomputed additive bias row (0 for valid,
+        # -1e30 for pad): one VPU add per tile — measured far cheaper than
+        # per-tile iota+select or a lax.cond on the tail block.  Compiled out
+        # entirely when KV tiles evenly.
+        s = s + bias_ref[0][None, :]
 
     m_prev = m_ref[...]  # (BLK_Q, 128) row-replicated
     l_prev = l_ref[...]
@@ -87,6 +88,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
     @pl.when(kv_idx == num_kv - 1)
     def _finalize():
         o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_ref, l_ref, acc_ref,
+                  has_bias=False)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -126,11 +132,11 @@ def flash_attention(
 
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
+    has_bias = lk_pad != lk
 
-    # Additive key-mask row: 0 on valid keys, -inf-like on the padded tail.
-    bias = jnp.zeros((1, lk_pad), jnp.float32)
-    if lk_pad != lk:
-        bias = bias.at[:, lk:].set(_NEG_INF)
+    # Fold the softmax scale and the exp2 conversion factor into q: one
+    # O(L*D) multiply here replaces an O(L^2) per-tile VPU pass in the kernel.
+    q = (q * (scale * _LOG2E)).astype(q.dtype)
 
     def flat(x, l, l_pad):
         x = x.reshape(b, l, h * d)  # heads onto the lane axis — free reshape
@@ -142,26 +148,37 @@ def flash_attention(
     kb = flat(k, lk, lk_pad)
     vb = flat(v, lk, lk_pad)
 
+    inputs = [qb, kb, vb]
+    if has_bias:
+        # Additive key-mask row: 0 on valid keys, -inf-like on the padded tail.
+        bias = jnp.zeros((1, lk_pad), jnp.float32).at[:, lk:].set(_NEG_INF)
+        inputs.append(bias)
+
     # Grid walks (batch, head, q-block) in parallel and the kv axis
     # sequentially; each head is a d-wide slice of the lane axis — no
     # transposed copies of q/k/v.
     grid = (b, h, lq_pad // block_q, lk_pad // block_k)
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bi, hi, i, j: (bi, i, hi)),
+        pl.BlockSpec((1, block_k, d), lambda bi, hi, i, j: (bi, j, hi)),
+        pl.BlockSpec((1, block_k, d), lambda bi, hi, i, j: (bi, j, hi)),
+    ]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, block_k), lambda bi, hi, i, j: (0, j))
+        )
+        kernel = functools.partial(_flash_kernel, has_bias=True)
+    else:
+        kernel = _flash_kernel_nobias
+
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, lq_pad, h * d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, d),
-                             lambda bi, hi, i, j: (bi, i, hi)),
-                pl.BlockSpec((1, block_k, d),
-                             lambda bi, hi, i, j: (bi, j, hi)),
-                pl.BlockSpec((1, block_k, d),
-                             lambda bi, hi, i, j: (bi, j, hi)),
-                pl.BlockSpec((1, block_k), lambda bi, hi, i, j: (0, j)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, block_q, d), lambda bi, hi, i, j: (bi, i, hi)
             ),
@@ -181,6 +198,6 @@ def flash_attention(
             transcendentals=lq_pad * lk_pad * b * h,
         ),
         interpret=interpret,
-    )(qb, kb, vb, bias)
+    )(*inputs)
 
     return out[:, :lq].reshape(b, lq, h, d)

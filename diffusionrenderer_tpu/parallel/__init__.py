@@ -1,3 +1,4 @@
+from .flash_sp import make_sp_attention
 from .sharding import (
     AXIS_DATA,
     AXIS_SEQ,

@@ -93,7 +93,7 @@ def _prepare_latent_conditions(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_steps", "use_cfg", "present", "noise_tile",
-                     "identity_vae", "shard_tokens"),
+                     "identity_vae", "shard_tokens", "mesh", "sp_attn"),
 )
 def _generate_jit(
     dit_params,
@@ -112,6 +112,8 @@ def _generate_jit(
     noise_tile: int = 1,
     identity_vae: bool = False,
     shard_tokens: bool = False,
+    mesh=None,
+    sp_attn: str = "auto",
 ):
     """Full generation: conditions -> EDM scan -> decode -> [0,1] video."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -163,6 +165,7 @@ def _generate_jit(
                 dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
                 lc2, ctx2, cfg.net,
                 seq_sharding_constraint=seq_constraint,
+                attn_backend=sp_attn, mesh=mesh,
             )
             out_c, out_u = out2[:b], out2[b:]
             # net = cond + g * (cond - uncond) (ref:
@@ -180,6 +183,7 @@ def _generate_jit(
                 dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
                 latent_condition, ctx, cfg.net,
                 seq_sharding_constraint=seq_constraint,
+                attn_backend=sp_attn, mesh=mesh,
             )
 
     # EDM Euler trajectory as one scan (ref: model_diffusion_renderer.py:224-235).
@@ -246,10 +250,11 @@ def _encode_conditions_jit(vae_params, cond_tensors, *, cfg, present,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_steps", "use_cfg", "noise_tile",
-                     "shard_tokens"),
+                     "shard_tokens", "mesh", "sp_attn"),
 )
 def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
-                *, cfg, num_steps, use_cfg, noise_tile=1, shard_tokens=False):
+                *, cfg, num_steps, use_cfg, noise_tile=1, shard_tokens=False,
+                mesh=None, sp_attn="auto"):
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
     seq_constraint = None
@@ -285,6 +290,7 @@ def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
                 dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
                 lc2, ctx2, cfg.net,
                 seq_sharding_constraint=seq_constraint,
+                attn_backend=sp_attn, mesh=mesh,
             )
             out_c, out_u = out2[:b], out2[b:]
             g = guidance.astype(jnp.float32)
@@ -300,6 +306,7 @@ def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
                 dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
                 latent_condition, ctx, cfg.net,
                 seq_sharding_constraint=seq_constraint,
+                attn_backend=sp_attn, mesh=mesh,
             )
 
     pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
@@ -316,11 +323,13 @@ def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "use_cfg", "noise_tile", "shard_tokens"),
+    static_argnames=("cfg", "use_cfg", "noise_tile", "shard_tokens",
+                     "mesh", "sp_attn"),
 )
 def _sample_segment_jit(dit_params, latent_condition, context_index, x,
                         guidance, sigma_pairs, *, cfg, use_cfg,
-                        noise_tile=1, shard_tokens=False):
+                        noise_tile=1, shard_tokens=False, mesh=None,
+                        sp_attn="auto"):
     """Run a SLICE of the denoise trajectory: x over sigma_pairs (k, 2).
 
     Exists because this environment's TPU worker kills executions running
@@ -355,6 +364,7 @@ def _sample_segment_jit(dit_params, latent_condition, context_index, x,
                 dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
                 lc2, ctx2, cfg.net,
                 seq_sharding_constraint=seq_constraint,
+                attn_backend=sp_attn, mesh=mesh,
             )
             out_c, out_u = out2[:b], out2[b:]
             g = guidance.astype(jnp.float32)
@@ -370,6 +380,7 @@ def _sample_segment_jit(dit_params, latent_condition, context_index, x,
                 dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
                 latent_condition, ctx, cfg.net,
                 seq_sharding_constraint=seq_constraint,
+                attn_backend=sp_attn, mesh=mesh,
             )
 
     def step(x, pair):
@@ -446,6 +457,10 @@ class DiffusionRendererPipeline:
         # Multi-chip execution: set via shard() — params placed per the
         # Megatron TP layout, batches sharded over `data`.
         self.mesh = mesh
+        # Sequence-parallel attention impl under a mesh: 'auto' (shard_map'd
+        # Pallas flash with all-gathered KV on TPU, XLA elsewhere),
+        # 'flash_sp', 'ring', or 'xla' (see parallel/flash_sp.py).
+        self.sp_attn = "auto"
         # Max denoise steps per device dispatch in the staged path (this
         # environment's TPU worker kills executions beyond ~tens of seconds;
         # 3 flagship steps ~ 16 s).
@@ -456,12 +471,17 @@ class DiffusionRendererPipeline:
         # memory for flagship shapes on a single 16 GB chip.
         self.decode_chunk_frames: Optional[int] = None
 
-    def shard(self, mesh) -> "DiffusionRendererPipeline":
+    def shard(self, mesh, sp_attn: Optional[str] = None
+              ) -> "DiffusionRendererPipeline":
         """Place the pipeline's params onto a (data, seq, tensor) mesh.
 
         The reference has no distributed path at all (SURVEY.md section 2d);
         this is the framework's multi-chip inference entry point.
+        sp_attn optionally overrides the sequence-parallel attention impl
+        ('auto' | 'flash_sp' | 'ring' | 'xla').
         """
+        if sp_attn is not None:
+            self.sp_attn = sp_attn
         from .parallel.sharding import (
             dit_param_shardings,
             shard_params,
@@ -680,6 +700,8 @@ class DiffusionRendererPipeline:
                             use_cfg=self.guidance > 0,
                             noise_tile=noise_tile,
                             shard_tokens=self.mesh is not None,
+                            mesh=self.mesh,
+                            sp_attn=self.sp_attn,
                         )
                 del latent_condition
                 with phase_timer("generate/decode"):
@@ -709,5 +731,7 @@ class DiffusionRendererPipeline:
                     present=present,
                     noise_tile=noise_tile,
                     shard_tokens=self.mesh is not None,
+                    mesh=self.mesh,
+                    sp_attn=self.sp_attn,
                 )
         return np.asarray(video_u8)

@@ -129,3 +129,89 @@ class TestBatchLoad:
 
     def test_empty_batch(self):
         assert rgbe.load_batch([]) == []
+
+
+def _write_minimal_exr_none_float(path, img):
+    """Independent oracle: hand-built single-part scanline EXR, compression
+    NONE, FLOAT channels R/G/B — written with struct only, no codec shared
+    with the reader under test."""
+    import struct
+
+    h, w, _ = img.shape
+
+    def attr(name, typ, payload):
+        return name.encode() + b"\0" + typ.encode() + b"\0" + struct.pack(
+            "<i", len(payload)) + payload
+
+    chl = b""
+    for name in ("B", "G", "R"):  # alphabetical, FLOAT(2)
+        chl += name.encode() + b"\0" + struct.pack("<iBBBBii", 2, 0, 0, 0, 0,
+                                                   1, 1)
+    chl += b"\0"
+    hdr = struct.pack("<ii", 20000630, 2)
+    hdr += attr("channels", "chlist", chl)
+    hdr += attr("compression", "compression", b"\0")  # NONE
+    hdr += attr("dataWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
+    hdr += attr("displayWindow", "box2i",
+                struct.pack("<iiii", 0, 0, w - 1, h - 1))
+    hdr += attr("lineOrder", "lineOrder", b"\0")
+    hdr += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    hdr += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+    hdr += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    hdr += b"\0"
+
+    line_bytes = w * 3 * 4
+    chunks = []
+    offset = len(hdr) + 8 * h  # offset table: one block per scanline
+    offsets = []
+    for y in range(h):
+        row = b""
+        for ci, comp in ((0, 2), (1, 1), (2, 0)):  # B, G, R file order
+            row += np.ascontiguousarray(img[y, :, comp], "<f4").tobytes()
+        chunk = struct.pack("<ii", y, line_bytes) + row
+        offsets.append(offset)
+        offset += len(chunk)
+        chunks.append(chunk)
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(struct.pack(f"<{h}q", *offsets))
+        for c in chunks:
+            f.write(c)
+
+
+class TestEXR:
+    def test_zip_half_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(7)
+        img = (rng.uniform(0, 1, (37, 53, 3)).astype(np.float32) ** 2) * 50.0
+        img[0, 0] = [0.0, 1e-6, 30000.0]
+        p = str(tmp_path / "rt.exr")
+        rgbe.save_exr(p, img)
+        back = rgbe.load(p)
+        assert back.shape == img.shape
+        rel = np.abs(back - img) / np.maximum(np.abs(img), 1e-4)
+        assert rel.max() < 2e-3  # half-precision mantissa
+
+    def test_reads_independent_none_float_file(self, tmp_path):
+        rng = np.random.default_rng(8)
+        img = rng.uniform(-2, 100, (5, 9, 3)).astype(np.float32)
+        p = str(tmp_path / "oracle.exr")
+        _write_minimal_exr_none_float(p, img)
+        back = rgbe.load(p)
+        np.testing.assert_array_equal(back, img)  # FLOAT+NONE: bit exact
+
+    def test_io_module_dispatches_exr(self, tmp_path):
+        from diffusionrenderer_tpu import io as drio
+
+        img = np.full((4, 6, 3), 2.5, np.float32)
+        p = str(tmp_path / "d.exr")
+        rgbe.save_exr(p, img)
+        out = drio.load_hdr_file(p)
+        assert out.shape == (4, 6, 3)
+        assert np.allclose(out, 2.5, rtol=1e-3)
+
+    def test_rejects_garbage(self, tmp_path):
+        p = str(tmp_path / "bad.exr")
+        with open(p, "wb") as f:
+            f.write(b"not an exr file at all")
+        with pytest.raises(ValueError, match="exr_read failed"):
+            rgbe.load(p)

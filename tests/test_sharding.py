@@ -87,6 +87,11 @@ class TestShardedTraining:
     def test_train_step_runs_and_descends(self, setup):
         params, x, _, cond, ctx = setup
         mesh = make_mesh(8)
+        # Deep-copy before sharding: device_put may alias the source device's
+        # shard buffer, and the train step DONATES its state — without the
+        # copy, donation deletes the module-scoped fixture params out from
+        # under every later test.
+        params = jax.tree.map(jnp.copy, params)
         sharded = shard_params(params, dit_param_shardings(params, mesh))
         opt = make_optimizer(1e-3)
         state = init_train_state(sharded, opt)
@@ -144,3 +149,41 @@ class TestShardedPipeline:
         got = make(make_mesh(8)).generate(batch, seed=5)
         # uint8 outputs may differ by 1 count from collective reduction order.
         assert np.abs(got.astype(int) - expected.astype(int)).max() <= 1
+
+
+class TestSequenceParallelAttention:
+    """shard_map'd attention kernels (parallel/flash_sp.py) == XLA oracle."""
+
+    def test_flash_sp_unit_matches_xla(self):
+        from diffusionrenderer_tpu.ops.attention import attention_xla
+        from diffusionrenderer_tpu.parallel import make_sp_attention
+
+        mesh = make_mesh(8)
+        ks = jax.random.split(jax.random.key(5), 3)
+        q, k, v = (jax.random.normal(kk, (2, 64, 4, 16)) for kk in ks)
+        got = np.asarray(make_sp_attention(mesh, impl="flash")(q, k, v))
+        ref = np.asarray(attention_xla(q, k, v))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("impl", ["flash_sp", "ring"])
+    def test_dit_forward_matches_single_device(self, setup, impl):
+        params, x, sigma, cond, ctx = setup
+        expected = np.asarray(dit_forward(params, x, sigma, cond, ctx, CFG))
+        mesh = make_mesh(8)
+        sharded_params = shard_params(params, dit_param_shardings(params, mesh))
+        bs = batch_sharding(mesh)
+        xs = jax.device_put(x, bs)
+        conds = jax.device_put(cond, bs)
+        constraint = token_sharding_constraint(mesh)
+
+        @jax.jit
+        def fwd(p, xx, s, c, ci):
+            return dit_forward(
+                p, xx, s, c, ci, CFG,
+                seq_sharding_constraint=constraint,
+                attn_backend=impl, mesh=mesh,
+            )
+
+        with mesh:
+            got = np.asarray(fwd(sharded_params, xs, sigma, conds, ctx))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
