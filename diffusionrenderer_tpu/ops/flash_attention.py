@@ -27,11 +27,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tuned on v5e at the flagship shape (L=28160, 32h x 128d) with the exp2 +
-# bias-row-mask kernel: (2048, 1024) -> 106 TFLOP/s (54% MFU);
-# (1024, 1024) -> 103; (1024, 512) -> 80; larger blocks exceed scoped VMEM.
-DEFAULT_BLOCK_Q = 2048
-DEFAULT_BLOCK_K = 1024
+# Tuned on v5e at the flagship shape (L=28160, 32h x 128d) with the
+# pre-scaled-q exp2 kernel: (1408, 1408) tiles divide 28160 exactly, so the
+# padded-key bias pass compiles out -> 105 TFLOP/s (53% MFU); (1024, 1024)
+# 104; old (2048, 1024) default 103; (1024, 512) 76; bf16 exp2 output
+# measured ~2% slower than fp32; (2048+, 1408+) tiles fail to compile
+# (VMEM).  Remaining gap to peak is the fp32 softmax VPU passes (max,
+# exp2, sum) over the L x L tiles.
+DEFAULT_BLOCK_Q = 1408
+DEFAULT_BLOCK_K = 1408
 _NEG_INF = -1e30
 
 
