@@ -38,23 +38,25 @@ def dit_step_flops(p_params: float, l_tokens: int, d_model: int,
     return 2.0 * p_params * l_tokens + 4.0 * l_tokens**2 * d_model * num_blocks / 28.0
 
 
-def _init_bf16(cfg, key, dtype, int8_weights=False):
+def _init_bf16(cfg, key, dtype, quant=None):
     """Benchmark weights: small tensors random, the big stacked block tensors
     zero-filled — identical FLOPs/latency, but no RNG temporaries (the
     `normal * scale` pattern transiently doubles each tensor, which OOMs when
     weights ~fill HBM; usable ceiling measured at ~14.5 GiB on this v5e).
-    int8_weights builds the quantized representation directly (production
-    checkpoints are quantized host-side during conversion)."""
+    quant='w8'/'w8a8' builds the int8 representation directly (production
+    checkpoints are quantized host-side during conversion); 'w8a8' marks the
+    leaves for runtime int8 activation quantization (models/quant.py)."""
     d, dh, r = cfg.model_channels, cfg.head_dim, cfg.adaln_lora_dim
     hid, ctx, nb = cfg.hidden_dim, cfg.crossattn_emb_channels, cfg.num_blocks
     keys = iter(jax.random.split(key, 64))
     w = lambda shape: jax.random.normal(next(keys), shape, dtype) * 0.02
     st = lambda shape: jnp.zeros((nb, *shape), dtype)
-    if int8_weights:
+    if quant:
         # Big matmul weights only (AdaLN stays bf16, as in models/quant.py).
+        skey = "sa" if quant == "w8a8" else "s"
         stq = lambda shape: {
             "q": jnp.zeros((nb, *shape), jnp.int8),
-            "s": jnp.full((nb, shape[-1]), 0.01, jnp.float32),
+            skey: jnp.full((nb, shape[-1]), 0.01, jnp.float32),
         }
     else:
         stq = st
@@ -99,11 +101,10 @@ def _fits_hbm(cfg, tokens: int, dtype) -> bool:
     return weights + act + block_slice < HBM_BUDGET_BYTES
 
 
-def _bench_config(cfg, t, h, w, dtype, n_iters=3, int8_weights=False):
+def _bench_config(cfg, t, h, w, dtype, n_iters=3, quant=None):
     from diffusionrenderer_tpu.models.dit import dit_forward
 
-    params = _init_bf16(cfg, jax.random.key(0), dtype,
-                        int8_weights=int8_weights)
+    params = _init_bf16(cfg, jax.random.key(0), dtype, quant=quant)
     b = 1
     cond = jax.random.normal(jax.random.key(2),
                              (b, t, h, w, cfg.additional_concat_ch), dtype)
@@ -124,12 +125,12 @@ def _bench_config(cfg, t, h, w, dtype, n_iters=3, int8_weights=False):
     return (time.perf_counter() - t0) / n_iters
 
 
-def run_rung(metric, cfg, thw, dtype, int8_w) -> None:
+def run_rung(metric, cfg, thw, dtype, quant) -> None:
     """Execute a single rung and print its JSON line (subprocess entry)."""
     from diffusionrenderer_tpu.models.dit import dit_param_count
 
     t, h, w = thw
-    dt = _bench_config(cfg, t, h, w, dtype, int8_weights=int8_w)
+    dt = _bench_config(cfg, t, h, w, dtype, quant=quant)
     tokens = (t // cfg.patch_temporal) * (h // cfg.patch_spatial) * (
         w // cfg.patch_spatial
     )
@@ -159,24 +160,27 @@ def main() -> None:
     if on_tpu:
         ladder = [
             # bf16 weights at flagship tokens do not fit one v5e
-            # (13.48 GiB + activations > ~14.5 GiB usable) — int8 weight-only
-            # quantization is the single-chip flagship path.
+            # (13.48 GiB + activations > ~14.5 GiB usable) — int8
+            # quantization is the single-chip flagship path; W8A8 runs the
+            # dense matmuls on the MXU's 2x-throughput int8 path.
+            ("dit_step_ms_7b_flagship_28160tok_w8a8", DiTConfig(),
+             (8, 88, 160), jnp.bfloat16, "w8a8"),
             ("dit_step_ms_7b_flagship_28160tok_int8w", DiTConfig(),
-             (8, 88, 160), jnp.bfloat16, True),
+             (8, 88, 160), jnp.bfloat16, "w8"),
             ("dit_step_ms_7b_512x512_1024tok", DiTConfig(), (1, 64, 64),
-             jnp.bfloat16, False),
+             jnp.bfloat16, None),
         ]
     else:
         tiny = DiTConfig(model_channels=128, num_blocks=2, num_heads=4,
                          adaln_lora_dim=16, crossattn_emb_channels=32)
         ladder = [("dit_step_ms_tiny_cpu", tiny, (1, 16, 16), jnp.float32,
-                   False)]
+                   None)]
 
     if len(sys.argv) > 1 and sys.argv[1].startswith("--rung="):
         # Subprocess mode: run exactly one rung by index.
         idx = int(sys.argv[1].split("=")[1])
-        metric, cfg, thw, dtype, int8_w = ladder[idx]
-        run_rung(metric, cfg, thw, dtype, int8_w)
+        metric, cfg, thw, dtype, quant = ladder[idx]
+        run_rung(metric, cfg, thw, dtype, quant)
         return
 
     # Parent mode: try rungs in isolated subprocesses — a failed (OOM) rung
@@ -184,11 +188,11 @@ def main() -> None:
     import subprocess
 
     last_err = "no rung attempted"
-    for idx, (metric, cfg, (t, h, w), dtype, int8_w) in enumerate(ladder):
+    for idx, (metric, cfg, (t, h, w), dtype, quant) in enumerate(ladder):
         tokens = (t // cfg.patch_temporal) * (h // cfg.patch_spatial) * (
             w // cfg.patch_spatial
         )
-        eff_dtype = jnp.int8 if int8_w else dtype
+        eff_dtype = jnp.int8 if quant else dtype
         if on_tpu and not _fits_hbm(cfg, tokens, eff_dtype):
             print(f"# rung {metric} skipped: exceeds single-chip HBM budget "
                   f"(needs TP>=2 or int8 weights)", file=sys.stderr)
@@ -205,31 +209,6 @@ def main() -> None:
         print(f"# {last_err}", file=sys.stderr)
     raise SystemExit(f"all bench rungs failed: {last_err}")
 
-
-def run_rung(metric, cfg, thw, dtype, int8_w) -> None:
-    """Execute a single rung and print its JSON line (subprocess entry)."""
-    from diffusionrenderer_tpu.models.dit import dit_param_count
-
-    t, h, w = thw
-    dt = _bench_config(cfg, t, h, w, dtype, int8_weights=int8_w)
-    tokens = (t // cfg.patch_temporal) * (h // cfg.patch_spatial) * (
-        w // cfg.patch_spatial
-    )
-    flops = dit_step_flops(dit_param_count(cfg), tokens, cfg.model_channels,
-                           cfg.num_blocks)
-    baseline_s = flops / A100_EFFECTIVE_FLOPS
-    print(json.dumps({
-        "metric": metric,
-        "value": round(dt * 1e3, 2),
-        "unit": "ms",
-        "vs_baseline": round(baseline_s / dt, 3),
-    }))
-    print(
-        f"# {tokens} tokens, {flops/1e12:.1f} TFLOP/step, achieved "
-        f"{flops/dt/1e12:.1f} TFLOP/s; baseline = estimated A100 TF32 "
-        f"reference {baseline_s*1e3:.0f} ms",
-        file=sys.stderr,
-    )
 
 
 if __name__ == "__main__":

@@ -48,6 +48,7 @@ def load_pipeline(
     compute_dtype: str = "bfloat16",
     vae_config_json: Optional[str] = None,
     quantize_int8: bool = False,
+    act_quant: bool = False,
     net_config: Optional[DiTConfig] = None,
     vae_config: Optional[VAEConfig] = None,
 ) -> DiffusionRendererPipeline:
@@ -70,9 +71,14 @@ def load_pipeline(
                             use_context_embedding=False)
     if dit_checkpoint is not None:
         dit_params = load_dit_checkpoint(dit_checkpoint, net_cfg, dtype,
-                                         quantize_int8=quantize_int8)
+                                         quantize_int8=quantize_int8,
+                                         act_quant=act_quant)
     else:
         dit_params = init_dit_params(jax.random.key(0), net_cfg, dtype)
+        if quantize_int8:
+            from .models.quant import quantize_dit_params
+
+            dit_params = quantize_dit_params(dit_params, act_quant=act_quant)
 
     vae_cfg = vae_config if vae_config is not None else VAEConfig()
     if vae_checkpoint is not None:

@@ -67,6 +67,7 @@ def convert_dit_state_dict(
     dtype: jnp.dtype = jnp.bfloat16,
     prefix: str = "net.",
     quantize_int8: bool = False,
+    act_quant: bool = False,
 ) -> Params:
     """Convert a reference-format torch state dict into our DiT pytree.
 
@@ -74,8 +75,10 @@ def convert_dit_state_dict(
     (strict in both directions).
 
     quantize_int8=True quantizes the stacked per-block matmul weights to
-    weight-only int8 ON THE HOST (numpy) before device placement — the
-    single-chip deployment path for the 7B model (models/quant.py).
+    int8 ON THE HOST (numpy) before device placement — the single-chip
+    deployment path for the 7B model (models/quant.py); act_quant=True
+    additionally marks them for runtime int8 activation quantization (W8A8,
+    the MXU's 2x-throughput int8 path).
     """
     sd = {k: v for k, v in state_dict.items()}
     consumed = set()
@@ -103,7 +106,7 @@ def convert_dit_state_dict(
         if quantize_int8:
             from .models.quant import quantize_tensor_host
 
-            return quantize_tensor_host(stacked)
+            return quantize_tensor_host(stacked, act_quant=act_quant)
         return jnp.asarray(stacked, dtype)
 
     def stack_vec(fmt: str) -> jnp.ndarray:
@@ -251,10 +254,12 @@ def load_dit_checkpoint(
     cfg: DiTConfig,
     dtype: jnp.dtype = jnp.bfloat16,
     quantize_int8: bool = False,
+    act_quant: bool = False,
 ) -> Params:
     """Load + convert a reference checkpoint from disk."""
     return convert_dit_state_dict(
-        load_torch_file(path), cfg, dtype, quantize_int8=quantize_int8
+        load_torch_file(path), cfg, dtype, quantize_int8=quantize_int8,
+        act_quant=act_quant,
     )
 
 

@@ -90,7 +90,9 @@ def _build_pipeline(args, model_type: str):
         guidance=args.guidance,
         num_steps=args.steps,
         seed=args.seed,
-        quantize_int8=getattr(args, "int8", False),
+        quantize_int8=getattr(args, "int8", False)
+        or getattr(args, "w8a8", False),
+        act_quant=getattr(args, "w8a8", False),
         net_config=net_config,
         vae_config=vae_config,
         compute_dtype=compute_dtype,
@@ -187,6 +189,9 @@ def main(argv: Optional[List[str]] = None) -> None:
         sp.add_argument("--steps", type=int, default=15)
         sp.add_argument("--int8", action="store_true",
                         help="weight-only int8 quantization on load")
+        sp.add_argument("--w8a8", action="store_true",
+                        help="int8 weights + runtime int8 activations "
+                             "(2x MXU int8 path; small accuracy cost)")
         sp.add_argument("--tiny", action="store_true",
                         help="scaled-down random model (plumbing smoke test)")
 

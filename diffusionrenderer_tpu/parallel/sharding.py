@@ -76,11 +76,19 @@ def dit_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     rep = _ns(mesh)
     col3 = _ns(mesh, None, None, AXIS_TENSOR)  # (nb, in, out): shard out
     row3 = _ns(mesh, None, AXIS_TENSOR, None)  # (nb, in, out): shard in
+    scale_col = _ns(mesh, None, AXIS_TENSOR)   # (nb, out) int8 dequant scales
 
     def map_blocks(sub: str, name: str):
+        leaf = params["blocks"][sub][name]
+        quantized = isinstance(leaf, dict)  # {'q','s'|'sa'} int8 leaves
         if name in ("wq", "wk", "wv", "w1"):
+            if quantized:
+                return {k: (col3 if k == "q" else scale_col) for k in leaf}
             return col3
         if name in ("wo", "w2"):
+            if quantized:
+                # Row-sharded: out axis (and its scales) replicated.
+                return {k: (row3 if k == "q" else rep) for k in leaf}
             return row3
         return rep
 

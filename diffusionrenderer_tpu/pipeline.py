@@ -549,15 +549,20 @@ class DiffusionRendererPipeline:
         """Cast all weights to a new dtype (ref: CleanVAE.py:66-67 /
         nodes.py:90-91).  Norm/statistics leaves stay fp32; int8 quantized
         leaves are untouched."""
-        def cast(x):
+        def cast(path, x):
+            # int8 weights and their fp32 dequant scales ('s'/'sa') stay put.
+            if any(getattr(k, "key", None) in ("s", "sa") for k in path):
+                return x
             if x.dtype in (jnp.int8, jnp.int32, jnp.float32) and x.ndim <= 1:
                 return x
             if x.dtype == jnp.int8:
                 return x
             return x.astype(dtype) if x.ndim > 1 else x
 
-        self.dit_params = jax.tree.map(cast, self.dit_params)
-        self.vae_params = jax.tree.map(cast, self.vae_params)
+        self.dit_params = jax.tree_util.tree_map_with_path(
+            cast, self.dit_params)
+        self.vae_params = jax.tree_util.tree_map_with_path(
+            cast, self.vae_params)
 
     def _decode_overlapped(self, sample, normal_mask, cfg, chunk: int,
                            overlap: int = 1) -> np.ndarray:

@@ -60,3 +60,97 @@ class TestQuantizedModel:
         # should stay well under 2%.
         rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
         assert rel < 0.02, f"int8 relative error too large: {rel}"
+
+
+class TestW8A8:
+    def test_leaf_layout_and_memory(self):
+        params = init_dit_params(jax.random.key(0), CFG, dtype=jnp.bfloat16)
+        qparams = quantize_dit_params(params, act_quant=True)
+        leaf = qparams["blocks"]["mlp"]["w1"]
+        assert set(leaf) == {"q", "sa"} and leaf["q"].dtype == jnp.int8
+        size = lambda p: sum(x.nbytes for x in jax.tree.leaves(p["blocks"]))
+        assert size(qparams) < 0.6 * size(params)
+
+    def test_forward_close_to_fp(self):
+        params = init_dit_params(jax.random.key(0), CFG, dtype=jnp.float32)
+        qparams = quantize_dit_params(params, act_quant=True)
+        b, t, h, w = 1, 2, 8, 8
+        x = jax.random.normal(jax.random.key(1), (b, t, h, w, 16))
+        cond = jax.random.normal(jax.random.key(2), (b, t, h, w, 16))
+        sig = jnp.full((b,), 7.5)
+        ctx = jnp.zeros((b,), jnp.int32)
+        ref = np.asarray(dit_forward(params, x, sig, cond, ctx, CFG))
+        got = np.asarray(dit_forward(qparams, x, sig, cond, ctx, CFG))
+        # W8A8 adds activation-quant noise on top of the weight quant: allow
+        # a looser (but still tight) bound than weight-only.
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.05, f"w8a8 relative error too large: {rel}"
+
+    def test_a8_closely_tracks_weight_only(self):
+        """Activation quantization must cost little extra accuracy."""
+        params = init_dit_params(jax.random.key(0), CFG, dtype=jnp.float32)
+        q_w = quantize_dit_params(params)
+        q_a = quantize_dit_params(params, act_quant=True)
+        b, t, h, w = 1, 2, 8, 8
+        x = jax.random.normal(jax.random.key(1), (b, t, h, w, 16))
+        cond = jax.random.normal(jax.random.key(2), (b, t, h, w, 16))
+        sig = jnp.full((b,), 7.5)
+        ctx = jnp.zeros((b,), jnp.int32)
+        out_w = np.asarray(dit_forward(q_w, x, sig, cond, ctx, CFG))
+        out_a = np.asarray(dit_forward(q_a, x, sig, cond, ctx, CFG))
+        rel = np.abs(out_a - out_w).max() / (np.abs(out_w).max() + 1e-9)
+        assert rel < 0.05
+
+    def test_sharded_quantized_forward(self):
+        """int8 (both modes) under the Megatron TP layout == unsharded."""
+        from diffusionrenderer_tpu.parallel import (
+            dit_param_shardings, make_mesh, shard_params,
+            token_sharding_constraint,
+        )
+
+        params = init_dit_params(jax.random.key(0), CFG, dtype=jnp.float32)
+        b, t, h, w = 2, 2, 8, 8
+        x = jax.random.normal(jax.random.key(1), (b, t, h, w, 16))
+        cond = jax.random.normal(jax.random.key(2), (b, t, h, w, 16))
+        sig = jnp.full((b,), 7.5)
+        ctx = jnp.zeros((b,), jnp.int32)
+        mesh = make_mesh(8)
+        for act_quant in (False, True):
+            qparams = quantize_dit_params(params, act_quant=act_quant)
+            expected = np.asarray(dit_forward(qparams, x, sig, cond, ctx, CFG))
+            sharded = shard_params(
+                qparams, dit_param_shardings(qparams, mesh))
+            constraint = token_sharding_constraint(mesh)
+            with mesh:
+                got = np.asarray(jax.jit(
+                    lambda p: dit_forward(
+                        p, x, sig, cond, ctx, CFG,
+                        seq_sharding_constraint=constraint)
+                )(sharded))
+            np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+    def test_reset_dtype_keeps_scales_fp32(self):
+        from diffusionrenderer_tpu.config import VAEConfig
+        from diffusionrenderer_tpu.models.vae import init_vae_params
+        from diffusionrenderer_tpu.pipeline import DiffusionRendererPipeline
+
+        tiny_vae = VAEConfig(
+            encoder_block_out_channels=(8, 12, 16, 16),
+            decode_block_out_channels=(12, 16, 16, 16),
+            num_layers=1,
+        )
+        dit = quantize_dit_params(
+            init_dit_params(jax.random.key(0), CFG, dtype=jnp.float32),
+            act_quant=True,
+        )
+        vae = init_vae_params(jax.random.key(1), tiny_vae, dtype=jnp.float32)
+        pipe = DiffusionRendererPipeline(
+            dit, vae, model_type="inverse", net_config=CFG,
+            vae_config=tiny_vae, compute_dtype="float32",
+        )
+        pipe.reset_dtype(jnp.bfloat16)
+        blk = pipe.dit_params["blocks"]["mlp"]["w1"]
+        assert blk["q"].dtype == jnp.int8
+        assert blk["sa"].dtype == jnp.float32
+        # non-quantized 2D weights do get cast
+        assert pipe.dit_params["x_embedder"]["weight"].dtype == jnp.bfloat16
