@@ -7,7 +7,7 @@ from diffusionrenderer_tpu.utils.profiling import metrics
 import logging; logging.basicConfig(level=logging.INFO)
 
 net = DiTConfig()
-dit = _init_bf16(net, jax.random.key(0), jnp.bfloat16, int8_weights=True)
+dit = _init_bf16(net, jax.random.key(0), jnp.bfloat16, quant="w8a8")
 vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 pipe = DiffusionRendererPipeline(dit, vae, model_type="inverse", num_steps=15)
 pipe.decode_chunk_frames = 4
