@@ -103,14 +103,18 @@ def dense_maybe_quantized(x: jax.Array, w: Any) -> jax.Array:
             "...i,io->...o", x, w, preferred_element_type=jnp.float32
         ).astype(x.dtype)
     if "sa" in w:
-        # W8A8: per-token dynamic activation scale, int8 MXU matmul.
-        ax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True)
-        ax = jnp.maximum(ax / 127.0, 1e-12)
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ax),
-                      -127, 127).astype(jnp.int8)
+        # W8A8: per-token dynamic activation scale, int8 MXU matmul.  The
+        # quantize multiply runs in x.dtype (bf16) — an fp32 quotient would
+        # materialize a 2x-sized transient at flagship activation shapes —
+        # and the dequant uses the EXACT inverse of the bf16 scale actually
+        # applied, so the rounding of the scale itself cancels.
+        amax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True)
+        inv = (127.0 / jnp.maximum(amax, 1e-12)).astype(x.dtype)
+        xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
         y = jnp.einsum("...i,io->...o", xq, w["q"],
                        preferred_element_type=jnp.int32)
-        return (y.astype(jnp.float32) * ax * w["sa"]).astype(x.dtype)
+        dequant = 1.0 / inv.astype(jnp.float32)
+        return (y.astype(jnp.float32) * dequant * w["sa"]).astype(x.dtype)
     y = jnp.einsum(
         "...i,io->...o", x, w["q"].astype(x.dtype),
         preferred_element_type=jnp.float32,

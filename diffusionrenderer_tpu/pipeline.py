@@ -93,7 +93,8 @@ def _prepare_latent_conditions(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_steps", "use_cfg", "present", "noise_tile",
-                     "identity_vae", "shard_tokens", "mesh", "sp_attn"),
+                     "identity_vae", "shard_tokens", "mesh", "sp_attn",
+                     "mlp_chunks"),
 )
 def _generate_jit(
     dit_params,
@@ -114,6 +115,7 @@ def _generate_jit(
     shard_tokens: bool = False,
     mesh=None,
     sp_attn: str = "auto",
+    mlp_chunks: int = 1,
 ):
     """Full generation: conditions -> EDM scan -> decode -> [0,1] video."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -166,6 +168,7 @@ def _generate_jit(
                 lc2, ctx2, cfg.net,
                 seq_sharding_constraint=seq_constraint,
                 attn_backend=sp_attn, mesh=mesh,
+                mlp_token_chunks=mlp_chunks,
             )
             out_c, out_u = out2[:b], out2[b:]
             # net = cond + g * (cond - uncond) (ref:
@@ -184,6 +187,7 @@ def _generate_jit(
                 latent_condition, ctx, cfg.net,
                 seq_sharding_constraint=seq_constraint,
                 attn_backend=sp_attn, mesh=mesh,
+                mlp_token_chunks=mlp_chunks,
             )
 
     # EDM Euler trajectory as one scan (ref: model_diffusion_renderer.py:224-235).
@@ -250,11 +254,11 @@ def _encode_conditions_jit(vae_params, cond_tensors, *, cfg, present,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_steps", "use_cfg", "noise_tile",
-                     "shard_tokens", "mesh", "sp_attn"),
+                     "shard_tokens", "mesh", "sp_attn", "mlp_chunks"),
 )
 def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
                 *, cfg, num_steps, use_cfg, noise_tile=1, shard_tokens=False,
-                mesh=None, sp_attn="auto"):
+                mesh=None, sp_attn="auto", mlp_chunks=1):
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
     seq_constraint = None
@@ -291,6 +295,7 @@ def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
                 lc2, ctx2, cfg.net,
                 seq_sharding_constraint=seq_constraint,
                 attn_backend=sp_attn, mesh=mesh,
+                mlp_token_chunks=mlp_chunks,
             )
             out_c, out_u = out2[:b], out2[b:]
             g = guidance.astype(jnp.float32)
@@ -307,6 +312,7 @@ def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
                 latent_condition, ctx, cfg.net,
                 seq_sharding_constraint=seq_constraint,
                 attn_backend=sp_attn, mesh=mesh,
+                mlp_token_chunks=mlp_chunks,
             )
 
     pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
@@ -324,12 +330,12 @@ def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "use_cfg", "noise_tile", "shard_tokens",
-                     "mesh", "sp_attn"),
+                     "mesh", "sp_attn", "mlp_chunks"),
 )
 def _sample_segment_jit(dit_params, latent_condition, context_index, x,
                         guidance, sigma_pairs, *, cfg, use_cfg,
                         noise_tile=1, shard_tokens=False, mesh=None,
-                        sp_attn="auto"):
+                        sp_attn="auto", mlp_chunks=1):
     """Run a SLICE of the denoise trajectory: x over sigma_pairs (k, 2).
 
     Exists because this environment's TPU worker kills executions running
@@ -365,6 +371,7 @@ def _sample_segment_jit(dit_params, latent_condition, context_index, x,
                 lc2, ctx2, cfg.net,
                 seq_sharding_constraint=seq_constraint,
                 attn_backend=sp_attn, mesh=mesh,
+                mlp_token_chunks=mlp_chunks,
             )
             out_c, out_u = out2[:b], out2[b:]
             g = guidance.astype(jnp.float32)
@@ -381,6 +388,7 @@ def _sample_segment_jit(dit_params, latent_condition, context_index, x,
                 latent_condition, ctx, cfg.net,
                 seq_sharding_constraint=seq_constraint,
                 attn_backend=sp_attn, mesh=mesh,
+                mlp_token_chunks=mlp_chunks,
             )
 
     def step(x, pair):
@@ -465,6 +473,9 @@ class DiffusionRendererPipeline:
         # environment's TPU worker kills executions beyond ~tens of seconds;
         # 3 flagship steps ~ 16 s).
         self.max_steps_per_dispatch = 3
+        # MLP token-axis chunking inside each DiT block: None = auto
+        # (4 chunks at >=16k tokens); 1 disables.
+        self.mlp_token_chunks: Optional[int] = None
         # Optional temporally-chunked decode (latent frames per chunk).
         # Chunk-restart causality — the reference's own legacy long-video
         # behavior (ref: pretrained_vae.py:367-436); bounds decoder peak
@@ -633,6 +644,17 @@ class DiffusionRendererPipeline:
             shape_key, cfg.latent_shape, self.num_steps, self.guidance,
         )
 
+        # MLP token chunking: bounds the (L, 4*D) hidden (and, under W8A8,
+        # its int8-quantization transients) — at flagship 28,160 tokens that
+        # buffer is ~920 MB bf16 and decides whether the step fits HBM.
+        if self.mlp_token_chunks is not None:
+            mlp_chunks = int(self.mlp_token_chunks)
+        else:
+            _, lt_, lh_, lw_ = cfg.latent_shape
+            tokens = (lt_ // cfg.net.patch_temporal) * (
+                lh_ // cfg.net.patch_spatial) * (lw_ // cfg.net.patch_spatial)
+            mlp_chunks = 4 if tokens >= 16384 and tokens % 4 == 0 else 1
+
         present = tuple(
             (k in data_batch) or (k == "image" and "rgb" in data_batch)
             for k in cfg.condition_keys
@@ -707,6 +729,7 @@ class DiffusionRendererPipeline:
                             shard_tokens=self.mesh is not None,
                             mesh=self.mesh,
                             sp_attn=self.sp_attn,
+                            mlp_chunks=mlp_chunks,
                         )
                 del latent_condition
                 with phase_timer("generate/decode"):
@@ -738,5 +761,6 @@ class DiffusionRendererPipeline:
                     shard_tokens=self.mesh is not None,
                     mesh=self.mesh,
                     sp_attn=self.sp_attn,
+                    mlp_chunks=mlp_chunks,
                 )
         return np.asarray(video_u8)

@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, jax, jax.numpy as jnp, numpy as np
 from bench import _init_bf16
 from diffusionrenderer_tpu.config import DiTConfig, VAEConfig, get_inverse_renderer_config
@@ -5,7 +6,7 @@ from diffusionrenderer_tpu.models.vae import init_vae_params
 from diffusionrenderer_tpu import pipeline as P
 
 net_cfg = DiTConfig()
-dit = _init_bf16(net_cfg, jax.random.key(0), jnp.bfloat16, int8_weights=True)
+dit = _init_bf16(net_cfg, jax.random.key(0), jnp.bfloat16, quant="w8")
 vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 cfg = get_inverse_renderer_config(704, 1280, 57)
 video = jax.random.uniform(jax.random.key(2), (1, 57, 704, 1280, 3), jnp.bfloat16) * 2 - 1
