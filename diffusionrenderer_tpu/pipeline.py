@@ -622,6 +622,37 @@ class DiffusionRendererPipeline:
         required for flagship shapes on a single 16 GB chip; staged=False
         fuses everything into one program (lowest overhead at small shapes).
         """
+        try:
+            return self._generate_inner(
+                data_batch, normalize_normal, seed, noise_tile, staged)
+        except Exception as e:  # pragma: no cover - device-runtime specific
+            # Some TPU runtimes (the axon tunnel here) reclaim device buffers
+            # asynchronously: a generation dispatched right after a large one
+            # can see RESOURCE_EXHAUSTED even though the memory is already
+            # logically free.  Drain and retry once.
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            import gc
+            import time as _time
+
+            from .utils.profiling import logger
+
+            logger.warning(
+                "device allocator exhausted — draining deferred frees and "
+                "retrying once")
+            gc.collect()
+            _time.sleep(20.0)
+            return self._generate_inner(
+                data_batch, normalize_normal, seed, noise_tile, staged)
+
+    def _generate_inner(
+        self,
+        data_batch: Mapping[str, Any],
+        normalize_normal=False,
+        seed: Optional[int] = None,
+        noise_tile: int = 1,
+        staged: bool = True,
+    ) -> np.ndarray:
         if self.model_type is None:
             raise RuntimeError("model_type not set; call set_model_type first")
 
