@@ -401,13 +401,24 @@ def _sample_segment_jit(dit_params, latent_condition, context_index, x,
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "noise_tile", "dtype_str"))
-def _noise_init_jit(key, sigma0, *, shape, noise_tile, dtype_str):
-    noise = jax.random.normal(
-        key, (shape[0] // noise_tile, *shape[1:]), jnp.float32
-    )
+@functools.partial(
+    jax.jit, static_argnames=("shape", "noise_tile", "dtype_str", "per_row")
+)
+def _noise_init_jit(key, sigma0, *, shape, noise_tile, dtype_str, per_row=False):
+    if per_row:
+        # key: (B,) stacked per-row PRNG keys.  Row i's draw is bit-identical
+        # to jax.random.normal(key_i, (1, *shape[1:])) — a batched serving
+        # dispatch therefore reproduces each request's solo noise exactly.
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, shape[1:], jnp.float32)
+        )(key)
+    else:
+        noise = jax.random.normal(
+            key, (shape[0] // noise_tile, *shape[1:]), jnp.float32
+        )
+        noise = jnp.tile(noise, (noise_tile, 1, 1, 1, 1))
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
-    return (jnp.tile(noise, (noise_tile, 1, 1, 1, 1)) * sigma0).astype(dtype)
+    return (noise * sigma0).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -708,7 +719,20 @@ class DiffusionRendererPipeline:
         )
 
         effective_seed = self.seed if seed is None else seed
-        key = jax.random.PRNGKey(effective_seed)
+        if isinstance(effective_seed, (list, tuple, np.ndarray)):
+            # Per-row seeds (serving batches mixed requests): row i's noise is
+            # bit-identical to a solo dispatch with seed_i.
+            seeds = [int(s) for s in np.asarray(effective_seed).reshape(-1)]
+            if len(seeds) != b:
+                raise ValueError(
+                    f"got {len(seeds)} per-row seeds for batch of {b}")
+            if noise_tile != 1:
+                raise ValueError("per-row seeds and noise_tile are exclusive")
+            key = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+            per_row_seeds = True
+        else:
+            key = jax.random.PRNGKey(effective_seed)
+            per_row_seeds = False
 
         if isinstance(normalize_normal, bool):
             normal_mask = jnp.full((b,), float(normalize_normal))
@@ -743,6 +767,7 @@ class DiffusionRendererPipeline:
                     sample = _noise_init_jit(
                         key, float(sigmas[0]), shape=state_shape,
                         noise_tile=noise_tile, dtype_str=cfg.compute_dtype,
+                        per_row=per_row_seeds,
                     )
                     pairs = np.stack([sigmas[:-1], sigmas[1:]], axis=1)
                     seg = max(1, int(self.max_steps_per_dispatch))
@@ -776,6 +801,15 @@ class DiffusionRendererPipeline:
                 # NCTHW -> NTHWC on host (cheap on uint8).
                 return np.asarray(video_u8).transpose(0, 2, 3, 4, 1)
             else:
+                x_init_override = None
+                if per_row_seeds:
+                    c_lat_, lt_, lh_, lw_ = cfg.latent_shape
+                    sigma0 = float(cfg.scheduler.sigma_max)
+                    x_init_override = _noise_init_jit(
+                        key, sigma0, shape=(b, lt_, lh_, lw_, c_lat_),
+                        noise_tile=1, dtype_str=cfg.compute_dtype,
+                        per_row=True,
+                    )
                 video_u8 = _generate_jit(
                     self.dit_params,
                     self.vae_params,
@@ -784,6 +818,7 @@ class DiffusionRendererPipeline:
                     key,
                     jnp.asarray(self.guidance, jnp.float32),
                     normal_mask,
+                    x_init_override,
                     cfg=cfg,
                     num_steps=self.num_steps,
                     use_cfg=self.guidance > 0,

@@ -145,16 +145,16 @@ class ServingExecutor:
                 [jnp.asarray(r.data_batch["context_index"]).reshape(-1)
                  for r in batch]
             )
-        # Per-request seeds: seed the noise with the FIRST request's seed per
-        # row by drawing one key per row.  (Each row gets independent noise;
-        # a single-request batch reproduces pipeline.generate exactly.)
-        seed = batch[0].seed
+        # Per-request seeds: one PRNG key per batched row, so row i's noise is
+        # bit-identical to dispatching request i alone with its own seed —
+        # batching never changes a request's output.
+        seeds = [r.seed for r in batch]
         normal_mask = jnp.asarray(
             [float(r.normalize_normal) for r in batch], jnp.float32
         )
         with phase_timer("serving/dispatch"):
             out = self.pipeline.generate(
-                merged, normalize_normal=normal_mask, seed=seed
+                merged, normalize_normal=normal_mask, seed=seeds
             )
         for i, r in enumerate(batch):
             r.future.set_result(out[i : i + 1])

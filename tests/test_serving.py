@@ -70,6 +70,23 @@ class TestServing:
         finally:
             ex.shutdown()
 
+    def test_mixed_seeds_match_solo_dispatch(self, pipeline):
+        """Batching must never change a request's output: each batched row
+        equals the same request dispatched alone with its own seed."""
+        solo = {s: pipeline.generate(req(0), seed=s) for s in (7, 1234)}
+        assert np.abs(
+            solo[7].astype(int) - solo[1234].astype(int)
+        ).max() > 0, "seeds must matter for this test to be meaningful"
+
+        ex = ServingExecutor(pipeline, max_batch=2, max_wait_ms=200)
+        try:
+            f1 = ex.submit(req(0), seed=7)
+            f2 = ex.submit(req(0), seed=1234)
+            np.testing.assert_array_equal(f1.result(timeout=300), solo[7])
+            np.testing.assert_array_equal(f2.result(timeout=300), solo[1234])
+        finally:
+            ex.shutdown()
+
     def test_shutdown_idempotent(self, pipeline):
         ex = ServingExecutor(pipeline)
         ex.shutdown()
