@@ -172,9 +172,11 @@ def convert_dit_state_dict(
         }
 
     # Training-time logvar head: present in the checkpoint, unused at
-    # inference (ref: model_diffusion_renderer.py:9-14,114-117).
+    # inference (ref: model_diffusion_renderer.py:9-14,114-117).  The RoPE
+    # position buffer is a persistent arange(max(512, head_dim)) table — pure
+    # derived data, recomputed on our side (ref: CleanGeneralDIT.py:91).
     for k in list(sd):
-        if k.startswith("logvar."):
+        if k.startswith("logvar.") or k == prefix + "pos_embedder.seq":
             consumed.add(k)
 
     leftovers = set(sd) - consumed
