@@ -104,13 +104,16 @@ def _t_conv(w: np.ndarray) -> np.ndarray:
 def convert_diffusers_vae_state_dict(
     sd: Mapping[str, Any], cfg: VAEConfig, dtype: jnp.dtype = jnp.bfloat16
 ) -> Params:
-    """Best-effort structural conversion of a diffusers AutoencoderKLCosmos
-    state dict.  Strict: raises listing unmatched keys.
+    """Convert a diffusers AutoencoderKLCosmos state dict to our pytree.
 
-    NOTE: validated structurally (shapes/level walk) — bit-level validation
-    against the HF checkpoint requires the checkpoint itself, which is not
-    available in this build environment; the converter fails loudly rather
-    than silently mis-mapping.
+    Key map validated end-to-end against the torch restatement of the
+    diffusers module tree (tests/torch_vae_oracle.py + tests/test_vae_parity.py):
+    factorized convs are `<conv>.conv_s` / `<conv>.conv_t`
+    (CosmosConvProjection3d), norms nest a GroupNorm as `<norm>.norm`,
+    hybrid down/upsamplers expose conv1/conv2/conv3, mid-block attention is
+    diffusers Attention (group_norm / to_q / to_k / to_v / to_out.0).
+    Strict: raises listing unmatched keys (the JAX analog of the reference's
+    load_state_dict(strict=True), ref: nodes.py:110).
     """
     sd = {k: np.asarray(v.float().numpy() if hasattr(v, "float") else v)
           for k, v in sd.items()}
@@ -128,20 +131,32 @@ def convert_diffusers_vae_state_dict(
         dst["w"] = jnp.asarray(_t_conv(w), dtype)
         dst["b"] = jnp.asarray(take(key + ".bias"), dtype)
 
+    def conv_proj(dst, key):
+        conv(dst["conv_s"], key + ".conv_s")
+        conv(dst["conv_t"], key + ".conv_t")
+
     def norm(dst, key):
-        dst["scale"] = jnp.asarray(take(key + ".weight"), jnp.float32)
-        dst["bias"] = jnp.asarray(take(key + ".bias"), jnp.float32)
+        dst["scale"] = jnp.asarray(take(key + ".norm.weight"), jnp.float32)
+        dst["bias"] = jnp.asarray(take(key + ".norm.bias"), jnp.float32)
 
     def resblock(dst, key):
         norm(dst["norm1"], key + ".norm1")
-        conv(dst["conv1"], key + ".conv1")
+        conv_proj(dst["conv1"], key + ".conv1")
         norm(dst["norm2"], key + ".norm2")
-        conv(dst["conv2"], key + ".conv2")
+        conv_proj(dst["conv2"], key + ".conv2")
         if "shortcut" in dst:
             conv(dst["shortcut"], key + ".conv_shortcut")
 
+    def sampler(dst, key):
+        conv(dst["conv1"], key + ".conv1")
+        conv(dst["conv2"], key + ".conv2")
+        conv(dst["conv3"], key + ".conv3")
+
     def attn(dst, key):
-        norm(dst["norm"], key + ".norm")
+        dst["norm"]["scale"] = jnp.asarray(
+            take(key + ".group_norm.weight"), jnp.float32)
+        dst["norm"]["bias"] = jnp.asarray(
+            take(key + ".group_norm.bias"), jnp.float32)
         for ours, theirs in (("wq", "to_q"), ("wk", "to_k"),
                              ("wv", "to_v"), ("wo", "to_out.0")):
             w = take(f"{key}.{theirs}.weight")
@@ -150,28 +165,24 @@ def convert_diffusers_vae_state_dict(
 
     for side in ("encoder", "decoder"):
         p = params[side]
-        conv(p["conv_in"], f"{side}.conv_in")
-        conv(p["conv_out"], f"{side}.conv_out")
+        conv_proj(p["conv_in"], f"{side}.conv_in")
+        conv_proj(p["conv_out"], f"{side}.conv_out")
         norm(p["norm_out"], f"{side}.norm_out")
         blocks_name = "down_blocks" if side == "encoder" else "up_blocks"
         for li, level in enumerate(p["levels"]):
             for ri, rb in enumerate(level["resblocks"]):
                 resblock(rb, f"{side}.{blocks_name}.{li}.resnets.{ri}")
             if "downsample" in level:
-                conv(level["downsample"]["conv_s"],
-                     f"{side}.{blocks_name}.{li}.downsamplers.0.conv_s")
-                conv(level["downsample"]["conv_t"],
-                     f"{side}.{blocks_name}.{li}.downsamplers.0.conv_t")
+                sampler(level["downsample"],
+                        f"{side}.{blocks_name}.{li}.downsamplers.0")
             if "upsample" in level:
-                conv(level["upsample"]["conv_s"],
-                     f"{side}.{blocks_name}.{li}.upsamplers.0.conv_s")
-                conv(level["upsample"]["conv_t"],
-                     f"{side}.{blocks_name}.{li}.upsamplers.0.conv_t")
+                sampler(level["upsample"],
+                        f"{side}.{blocks_name}.{li}.upsamplers.0")
         mid = p["mid"]
         resblock(mid["res1"], f"{side}.mid_block.resnets.0")
         resblock(mid["res2"], f"{side}.mid_block.resnets.1")
         attn(mid["attn_s"], f"{side}.mid_block.attentions.0")
-        attn(mid["attn_t"], f"{side}.mid_block.temporal_attentions.0")
+        attn(mid["attn_t"], f"{side}.mid_block.temp_attentions.0")
 
     leftovers = sorted(set(sd) - consumed)
     if leftovers:

@@ -1,30 +1,45 @@
 """Cosmos-1.0-Tokenizer-CV8x8x8 — causal 3D video VAE in JAX.
 
 The reference consumes this model through diffusers' AutoencoderKLCosmos
-(/root/reference/CleanVAE.py:18); here the architecture is rebuilt from the
-shipped config (/root/reference/VAE_config.json) as a TPU-native
-channels-last (B, T, H, W, C) network:
+(/root/reference/CleanVAE.py:18; architecture in VAE_config.json).  Here it
+is rebuilt as a TPU-native channels-last (B, T, H, W, C) network whose math
+matches the diffusers/NVIDIA implementation (validated against the torch
+restatement in tests/torch_vae_oracle.py):
 
-* 3D Haar wavelet patching, patch_size 4 = two causal Haar levels
-  (VAE_config.json:539-540), giving 4x4x4 compression before any conv;
+* 3D Haar wavelet patching, patch_size 4 = two levels
+  (VAE_config.json:539-540).  Causal handling: the FIRST frame is
+  repeat-interleaved patch_size times, then each level is an exact stride-2
+  DWT; filters are rescaled so the DC gain is 1 (analysis kernel entries
+  +-1/8 per level).  Unpatching inverts and drops the leading patch_size-1
+  reconstructed frames;
+* every main conv is FACTORIZED: spatial (1,3,3) then temporal (3,1,1)
+  causal conv (diffusers CosmosConvProjection3d: conv_s / conv_t);
 * causal temporal convolutions: time axis front-padded with the replicated
   first frame so frame t never sees frames > t;
-* encoder channels 128/256/512/512, decoder 256/512/512/512, 2 res layers
-  per level (VAE_config.json:7-18,536);
-* one additional spatial + temporal downsample (8x total = 4x patch * 2x),
-  matching spatial/temporal_compression_ratio 8 (VAE_config.json:542-544);
-* mid block: resnet - spatial attention - causal temporal attention - resnet;
+* HYBRID stride-2 downsampling: strided conv + average pool summed, spatial
+  group then temporal group, followed by a 1x1x1 conv;
+* HYBRID upsampling: repeat-interleave (time drops the leading duplicate:
+  T -> 2T-1) then conv with a RESIDUAL add per group, then a 1x1x1 conv;
+* encoder channels 128/256/512/512, decoder 256/512/512/512 (walked
+  reversed), 2 res layers per level, +1 in the decoder
+  (VAE_config.json:7-18,536); the single down/upsample beyond the patcher
+  gives the 8x8x8 total compression (VAE_config.json:542-544);
+* mid block: resnet - spatial attention - causal temporal attention - resnet
+  (single head at width C, biases everywhere, per-frame GroupNorm(1));
 * per-(channel, latent-frame) latent mean/std normalization vectors — 256
   entries = 16 channels x 16 frames (VAE_config.json:21-535);
-* encode is DETERMINISTIC: the diffusers class wraps the encoder output in an
-  identity distribution whose .sample() returns the tensor itself, so the
-  reference's latent_dist.sample() (CleanVAE.py:51) draws no noise.
+* encode is DETERMINISTIC: diffusers wraps the encoder output in an identity
+  distribution whose .sample() returns the tensor itself, so the reference's
+  latent_dist.sample() (CleanVAE.py:51) draws no noise.
 
 Frame math matches CleanVAE.py:34-42: T_latent = (T-1)//8 + 1, single frames
-stay single frames (every temporal stage maps T -> (T-1)//2 + 1 causally).
+stay single frames.  Supported pixel frame counts: T == 1 or
+(T-1) % patch_size == 0 (the reference only ever feeds T = 8k+1 or 1).
 
 The conv stack runs under XLA's native conv lowering (which maps 3D convs
-onto the MXU); the Haar transform is pure adds/reshapes that XLA fuses.
+onto the MXU); the Haar transform is a conv so XLA keeps pixel-space tensors
+in large-minor-dim layouts (an 8-D butterfly reshape at 57x704x1280
+materializes a 20 GB tile-padded intermediate).
 """
 
 from __future__ import annotations
@@ -42,21 +57,20 @@ from ..config import VAEConfig
 Params = Dict[str, Any]
 
 # ---------------------------------------------------------------------------
-# Haar wavelet patcher (causal)
+# Haar wavelet patcher (causal, DC-gain-1 normalization)
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=8)
 def _haar_kernel_np(c: int):
-    """Dense (2, 2, 2, C, 8C) orthonormal Haar analysis kernel.
+    """Dense (2, 2, 2, C, 8C) Haar analysis kernel, entries +-1/8.
 
     Output channel s*C + c_in carries subband s of input channel c_in;
     subbands ordered (LLL, LLH, LHL, LHH, HLL, HLH, HHL, HHH) with letters in
-    (t, h, w) axis order, L=low/H=high.  Implemented as a conv so XLA keeps
-    pixel-space tensors in large-minor-dim layouts (an 8-D butterfly reshape
-    at 57x704x1280 materializes a 20 GB tile-padded intermediate).
-    """
+    (t, h, w) axis order, L=low/H=high — the diffusers/NVIDIA chunk order.
+    The 1/8 scale is the diffusers rescale convention (per-axis 1/sqrt2
+    filters divided by sqrt8 per level => DC gain exactly 1)."""
     w = np.zeros((2, 2, 2, c, 8 * c), np.float32)
-    scale = 1.0 / math.sqrt(8.0)
+    scale = 1.0 / 8.0
     for s in range(8):
         signs_t = (1, 1) if not (s & 4) else (1, -1)
         signs_h = (1, 1) if not (s & 2) else (1, -1)
@@ -71,15 +85,10 @@ def _haar_kernel_np(c: int):
 
 
 def _haar_level(x: jax.Array) -> jax.Array:
-    """One causal orthonormal 3D Haar level.
+    """One exact stride-2 Haar level; all of (T, H, W) must be even.
 
-    (B, T, H, W, C) -> (B, (T-1)//2+1, H/2, W/2, 8C).
-    """
-    b, t, h, w, c = x.shape
-    if t % 2 == 1:
-        # Causal: replicate the first frame so the leading pair is (x0, x0);
-        # its high band is exactly zero and the low band is sqrt(2)*x0.
-        x = jnp.concatenate([x[:, :1], x], axis=1)
+    (B, T, H, W, C) -> (B, T/2, H/2, W/2, 8C)."""
+    c = x.shape[-1]
     kernel = jnp.asarray(_haar_kernel_np(c), x.dtype)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(2, 2, 2), padding="VALID",
@@ -88,33 +97,38 @@ def _haar_level(x: jax.Array) -> jax.Array:
     ).astype(x.dtype)
 
 
-def _haar_level_inverse(
-    x: jax.Array, orig_t_odd: bool, out_layout: str = "NDHWC"
-) -> jax.Array:
-    """Inverse of _haar_level.  x: (B, T2, H2, W2, 8C) -> (B, T, H, W, C)
-    (or (B, C, T, H, W) with out_layout='NCDHW').
+def _haar_level_inverse(x: jax.Array, out_layout: str = "NDHWC") -> jax.Array:
+    """Inverse of _haar_level: (B, T2, H2, W2, 8C) -> (B, 2*T2, 2*H2, 2*W2, C)
+    (or NCDHW).  Analysis A = O/sqrt8 with O orthonormal, so synthesis is
+    A^T * 8 — a stride-2 transposed convolution scaled by 8.
 
-    The analysis kernel is orthonormal, so synthesis is its transpose —
-    a stride-2 transposed convolution with the same kernel.  The NCDHW
-    output option exists because a tiled (..., W, 3) buffer lane-pads 3->128
-    (42x) — at 57f x 704x1280 that is a ~6.5 GB intermediate; putting (H, W)
-    minor instead tiles perfectly.
-    """
+    The NCDHW output option exists because a tiled (..., W, 3) buffer
+    lane-pads 3->128 (42x) — at 57f x 704x1280 that is a ~6.5 GB
+    intermediate; putting (H, W) minor instead tiles perfectly."""
     c = x.shape[-1] // 8
     kernel = jnp.asarray(_haar_kernel_np(c), x.dtype)
-    full = jax.lax.conv_transpose(
+    out = jax.lax.conv_transpose(
         x, kernel, strides=(2, 2, 2), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", out_layout),
         transpose_kernel=True,
-    ).astype(x.dtype)
-    if orig_t_odd:
-        # Drop the replicated causal frame (time axis position depends on
-        # the output layout).
-        full = full[:, :, 1:] if out_layout == "NCDHW" else full[:, 1:]
-    return full
+    )
+    return (out * 8.0).astype(x.dtype)
+
+
+def _check_frames(t: int, patch: int) -> None:
+    if t != 1 and (t - 1) % patch != 0:
+        raise ValueError(
+            f"Unsupported frame count T={t}: the causal Haar patcher needs "
+            f"T == 1 or (T-1) % {patch} == 0 (the reference feeds T = 8k+1)."
+        )
 
 
 def haar_patch(x: jax.Array, levels: int) -> jax.Array:
+    """Causal patching: repeat the first frame 2^levels times, then exact
+    halvings (diffusers CosmosPatchEmbed3d._haar_wavelet_transform)."""
+    p = 2**levels
+    _check_frames(x.shape[1], p)
+    x = jnp.concatenate([jnp.repeat(x[:, :1], p, axis=1), x[:, 1:]], axis=1)
     for _ in range(levels):
         x = _haar_level(x)
     return x
@@ -123,19 +137,16 @@ def haar_patch(x: jax.Array, levels: int) -> jax.Array:
 def haar_unpatch(
     x: jax.Array, levels: int, orig_t: int, out_layout: str = "NDHWC"
 ) -> jax.Array:
-    """Inverse recursive Haar; orig_t is the pixel frame count to restore.
-    out_layout applies to the FINAL (pixel-space) level only."""
-    # Track the frame counts the forward pass saw at each level.
-    ts = [orig_t]
-    for _ in range(levels):
-        ts.append((ts[-1] - 1) // 2 + 1 if ts[-1] % 2 == 1 else ts[-1] // 2)
+    """Inverse recursive Haar; drops the leading 2^levels - 1 frames that the
+    forward pass synthesized from the repeated first frame.  out_layout
+    applies to the FINAL (pixel-space) level only."""
+    p = 2**levels
+    _check_frames(orig_t, p)
     for lvl in reversed(range(levels)):
         x = _haar_level_inverse(
-            x,
-            orig_t_odd=(ts[lvl] % 2 == 1),
-            out_layout=out_layout if lvl == 0 else "NDHWC",
+            x, out_layout=out_layout if lvl == 0 else "NDHWC"
         )
-    return x
+    return x[:, :, p - 1:] if out_layout == "NCDHW" else x[:, p - 1:]
 
 
 # ---------------------------------------------------------------------------
@@ -152,17 +163,18 @@ def causal_conv3d(
     """3D conv, causal in time: front-pad (kt-1) replicated first frames.
 
     x: (B, T, H, W, Cin); w: (kt, kh, kw, Cin, Cout) [DHWIO].
-    spatial_pad: 'same' pads kh//2 / kw//2 both sides; 'down' pads (0,1)
-    asymmetrically for stride-2 halving.
-    """
+    spatial_pad: 'same' pads kh//2 / kw//2 both sides; 'none' no spatial pad
+    (callers pre-pad asymmetrically for stride-2 halving).
+
+    For the stride-2 temporal conv the kt-1 = 2 front frames equal diffusers'
+    explicit 1-frame cat plus the conv's own temporal_pad of 1
+    (CosmosCausalConv3d: dilation*(kt-1) + (1-stride))."""
     kt, kh, kw = w.shape[:3]
     if kt > 1:
         front = jnp.repeat(x[:, :1], kt - 1, axis=1)
         x = jnp.concatenate([front, x], axis=1)
     if spatial_pad == "same":
         pads = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
-    elif spatial_pad == "down":
-        pads = [(0, max(kh - 1, 0) and 1), (0, max(kw - 1, 0) and 1)]
     else:
         pads = [(0, 0), (0, 0)]
     out = jax.lax.conv_general_dilated(
@@ -178,11 +190,20 @@ def causal_conv3d(
     return out
 
 
+def _conv_proj(x: jax.Array, p: Params) -> jax.Array:
+    """Factorized conv (diffusers CosmosConvProjection3d): spatial (1,3,3)
+    then causal temporal (3,1,1)."""
+    x = causal_conv3d(x, p["conv_s"]["w"], p["conv_s"]["b"])
+    return causal_conv3d(x, p["conv_t"]["w"], p["conv_t"]["b"],
+                         spatial_pad="none")
+
+
 def group_norm_per_frame(
     x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6
 ) -> jax.Array:
     """GroupNorm(num_groups=1) over (H, W, C) independently per frame —
-    per-frame statistics keep the network causal in time."""
+    per-frame statistics keep the network causal in time (diffusers
+    CosmosCausalGroupNorm / NVIDIA CausalNormalize)."""
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(2, 3, 4), keepdims=True)
@@ -194,13 +215,14 @@ def group_norm_per_frame(
 def _resblock(x: jax.Array, p: Params) -> jax.Array:
     h = group_norm_per_frame(x, p["norm1"]["scale"], p["norm1"]["bias"])
     h = jax.nn.silu(h)
-    h = causal_conv3d(h, p["conv1"]["w"], p["conv1"]["b"])
+    h = _conv_proj(h, p["conv1"])
     h = group_norm_per_frame(h, p["norm2"]["scale"], p["norm2"]["bias"])
     h = jax.nn.silu(h)
-    h = causal_conv3d(h, p["conv2"]["w"], p["conv2"]["b"])
+    h = _conv_proj(h, p["conv2"])
     skip = x
     if "shortcut" in p:
-        skip = causal_conv3d(x, p["shortcut"]["w"], p["shortcut"]["b"])
+        skip = causal_conv3d(x, p["shortcut"]["w"], p["shortcut"]["b"],
+                             spatial_pad="none")
     return skip + h
 
 
@@ -225,7 +247,8 @@ def _attn_spatial(x: jax.Array, p: Params) -> jax.Array:
 
 
 def _attn_temporal(x: jax.Array, p: Params) -> jax.Array:
-    """Single-head CAUSAL self-attention over T per spatial location."""
+    """Single-head CAUSAL self-attention over T per spatial location.
+    Norm is per-frame (applied before the temporal rearrange)."""
     b, t, h, w, c = x.shape
     y = group_norm_per_frame(x, p["norm"]["scale"], p["norm"]["bias"])
     y = y.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
@@ -244,27 +267,49 @@ def _attn_temporal(x: jax.Array, p: Params) -> jax.Array:
     return x + o
 
 
+def _avg_pool(x: jax.Array, window) -> jax.Array:
+    """VALID average pool over (T, H, W) of a (B, T, H, W, C) tensor."""
+    dims = (1, *window, 1)
+    summed = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, dims, dims, "VALID"
+    )
+    return (summed / math.prod(window)).astype(x.dtype)
+
+
 def _downsample(x: jax.Array, p: Params) -> jax.Array:
-    """Spatial (1,3,3)/s(1,2,2) then temporal causal (3,1,1)/s(2,1,1)."""
-    x = causal_conv3d(x, p["conv_s"]["w"], p["conv_s"]["b"],
-                      stride=(1, 2, 2), spatial_pad="down")
-    x = causal_conv3d(x, p["conv_t"]["w"], p["conv_t"]["b"],
-                      stride=(2, 1, 1), spatial_pad="none")
-    return x
+    """Hybrid stride-2 (diffusers CosmosDownsample3d): per axis group the
+    strided conv and the average pool of the SAME padded input are summed;
+    a 1x1x1 conv follows."""
+    # Spatial: zero-pad right/bottom, (1,3,3)/s(1,2,2) conv + 2x2 avg pool.
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+    conv = causal_conv3d(xp, p["conv1"]["w"], p["conv1"]["b"],
+                         stride=(1, 2, 2), spatial_pad="none")
+    x = conv + _avg_pool(xp, (1, 2, 2))
+    # Temporal: causal (3,1,1)/s(2,1,1) conv (kt-1 = 2 replicated front
+    # frames == diffusers' 1-frame cat + the conv's own pad of 1) + pair
+    # average pool over the 1-frame front-padded input.
+    conv = causal_conv3d(x, p["conv2"]["w"], p["conv2"]["b"],
+                         stride=(2, 1, 1), spatial_pad="none")
+    xt = jnp.concatenate([x[:, :1], x], axis=1)
+    x = conv + _avg_pool(xt, (2, 1, 1))
+    return causal_conv3d(x, p["conv3"]["w"], p["conv3"]["b"],
+                         spatial_pad="none")
 
 
 def _upsample(x: jax.Array, p: Params) -> jax.Array:
-    """Temporal causal x2 (T -> 2T-1) then spatial nearest x2, each + conv."""
-    # Temporal: interleave-duplicate then drop the leading frame.
+    """Hybrid upsample (diffusers CosmosUpsample3d): repeat-interleave, conv
+    with RESIDUAL add per axis group, then a 1x1x1 conv.  Temporal drops the
+    leading duplicate (T -> 2T-1)."""
     x = jnp.repeat(x, 2, axis=1)[:, 1:]
-    x = causal_conv3d(x, p["conv_t"]["w"], p["conv_t"]["b"],
-                      spatial_pad="none")
+    x = causal_conv3d(x, p["conv1"]["w"], p["conv1"]["b"],
+                      spatial_pad="none") + x
     # Spatial nearest-neighbor as ONE resize op (chained jnp.repeat would
     # materialize an extra (T, 2H, W, C) intermediate — 1.7 GB at flagship).
     b, t, h, w, c = x.shape
     x = jax.image.resize(x, (b, t, 2 * h, 2 * w, c), method="nearest")
-    x = causal_conv3d(x, p["conv_s"]["w"], p["conv_s"]["b"])
-    return x
+    x = causal_conv3d(x, p["conv2"]["w"], p["conv2"]["b"]) + x
+    return causal_conv3d(x, p["conv3"]["w"], p["conv3"]["b"],
+                         spatial_pad="none")
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +323,14 @@ def _conv_p(key, kt, kh, kw, cin, cout, dtype):
     return {"w": w, "b": jnp.zeros((cout,), dtype)}
 
 
+def _conv_proj_p(key, cin, cout, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv_s": _conv_p(k1, 1, 3, 3, cin, cout, dtype),
+        "conv_t": _conv_p(k2, 3, 1, 1, cout, cout, dtype),
+    }
+
+
 def _norm_p(c, dtype):
     return {"scale": jnp.ones((c,), jnp.float32),
             "bias": jnp.zeros((c,), jnp.float32)}
@@ -287,9 +340,9 @@ def _res_p(key, cin, cout, dtype):
     k1, k2, k3 = jax.random.split(key, 3)
     p = {
         "norm1": _norm_p(cin, dtype),
-        "conv1": _conv_p(k1, 3, 3, 3, cin, cout, dtype),
+        "conv1": _conv_proj_p(k1, cin, cout, dtype),
         "norm2": _norm_p(cout, dtype),
-        "conv2": _conv_p(k2, 3, 3, 3, cout, cout, dtype),
+        "conv2": _conv_proj_p(k2, cout, cout, dtype),
     }
     if cin != cout:
         p["shortcut"] = _conv_p(k3, 1, 1, 1, cin, cout, dtype)
@@ -310,6 +363,24 @@ def _attn_p(key, c, dtype):
     }
 
 
+def _down_p(key, c, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1": _conv_p(k1, 1, 3, 3, c, c, dtype),
+        "conv2": _conv_p(k2, 3, 1, 1, c, c, dtype),
+        "conv3": _conv_p(k3, 1, 1, 1, c, c, dtype),
+    }
+
+
+def _up_p(key, c, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1": _conv_p(k1, 3, 1, 1, c, c, dtype),
+        "conv2": _conv_p(k2, 1, 3, 3, c, c, dtype),
+        "conv3": _conv_p(k3, 1, 1, 1, c, c, dtype),
+    }
+
+
 def init_vae_params(
     key: jax.Array, cfg: VAEConfig, dtype: jnp.dtype = jnp.bfloat16
 ) -> Params:
@@ -322,18 +393,16 @@ def init_vae_params(
 
     num_downs = int(math.log2(cfg.spatial_compression_ratio)) - levels  # = 1
 
-    # Encoder levels: enc_ch[i] -> enc_ch[i+1].
+    # Encoder levels: enc_ch[i] -> enc_ch[i+1]; the hybrid downsample sits at
+    # the first num_downs levels (diffusers CosmosEncoder3d walk).
     enc_levels: List[Params] = []
     for i in range(len(enc_ch) - 1):
         blocks = [_res_p(nk(), enc_ch[i], enc_ch[i + 1], dtype)]
         for _ in range(cfg.num_layers - 1):
             blocks.append(_res_p(nk(), enc_ch[i + 1], enc_ch[i + 1], dtype))
         level: Params = {"resblocks": blocks}
-        if i < num_downs:
-            level["downsample"] = {
-                "conv_s": _conv_p(nk(), 1, 3, 3, enc_ch[i + 1], enc_ch[i + 1], dtype),
-                "conv_t": _conv_p(nk(), 3, 1, 1, enc_ch[i + 1], enc_ch[i + 1], dtype),
-            }
+        if i < min(num_downs, len(enc_ch) - 2):
+            level["downsample"] = _down_p(nk(), enc_ch[i + 1], dtype)
         enc_levels.append(level)
 
     mid_e = {
@@ -343,7 +412,9 @@ def init_vae_params(
         "res2": _res_p(nk(), enc_ch[-1], enc_ch[-1], dtype),
     }
 
-    # Decoder levels, deepest first: dec_ch reversed pairwise.
+    # Decoder levels, deepest first: dec_ch reversed pairwise.  The single
+    # upsample mirrors the encoder: it sits at the LAST possible slot,
+    # applied AFTER that level's resblocks (diffusers up_blocks.1.upsamplers).
     dch = list(reversed(dec_ch))  # e.g. (512, 512, 512, 256)
     dec_levels: List[Params] = []
     for i in range(len(dch) - 1):
@@ -351,12 +422,8 @@ def init_vae_params(
         for _ in range(cfg.num_layers):  # decoder uses num_layers+1 blocks
             blocks.append(_res_p(nk(), dch[i + 1], dch[i + 1], dtype))
         level: Params = {"resblocks": blocks}
-        # Mirror the encoder: the single up happens before the last level.
-        if i == len(dch) - 2:
-            level["upsample"] = {
-                "conv_t": _conv_p(nk(), 3, 1, 1, dch[i], dch[i], dtype),
-                "conv_s": _conv_p(nk(), 1, 3, 3, dch[i], dch[i], dtype),
-            }
+        if i < len(dch) - 2 and (len(dch) - 2 - i) <= num_downs:
+            level["upsample"] = _up_p(nk(), dch[i + 1], dtype)
         dec_levels.append(level)
 
     mid_d = {
@@ -368,19 +435,20 @@ def init_vae_params(
 
     return {
         "encoder": {
-            "conv_in": _conv_p(nk(), 3, 3, 3, patched_ch, enc_ch[0], dtype),
+            "conv_in": _conv_proj_p(nk(), patched_ch, enc_ch[0], dtype),
             "levels": enc_levels,
             "mid": mid_e,
             "norm_out": _norm_p(enc_ch[-1], dtype),
-            "conv_out": _conv_p(nk(), 3, 3, 3, enc_ch[-1], cfg.latent_channels, dtype),
+            "conv_out": _conv_proj_p(nk(), enc_ch[-1], cfg.latent_channels,
+                                     dtype),
         },
         "decoder": {
-            "conv_in": _conv_p(nk(), 3, 3, 3, cfg.latent_channels, dch[0], dtype),
+            "conv_in": _conv_proj_p(nk(), cfg.latent_channels, dch[0], dtype),
             "mid": mid_d,
             "levels": dec_levels,
             "norm_out": _norm_p(dch[-1], dtype),
-            "conv_out": _conv_p(
-                nk(), 3, 3, 3, dch[-1], cfg.out_channels * 8**levels, dtype
+            "conv_out": _conv_proj_p(
+                nk(), dch[-1], cfg.out_channels * 8**levels, dtype
             ),
         },
         # Per-(channel, latent-frame) statistics (VAE_config.json:21-535),
@@ -423,7 +491,7 @@ def vae_encode(params: Params, x: jax.Array, cfg: VAEConfig) -> jax.Array:
     levels = int(math.log2(cfg.patch_size))
     enc = params["encoder"]
     h = haar_patch(x, levels)
-    h = causal_conv3d(h, enc["conv_in"]["w"], enc["conv_in"]["b"])
+    h = _conv_proj(h, enc["conv_in"])
     for level in enc["levels"]:
         for rb in level["resblocks"]:
             h = _resblock(h, rb)
@@ -436,7 +504,7 @@ def vae_encode(params: Params, x: jax.Array, cfg: VAEConfig) -> jax.Array:
     h = _resblock(h, mid["res2"])
     h = group_norm_per_frame(h, enc["norm_out"]["scale"], enc["norm_out"]["bias"])
     h = jax.nn.silu(h)
-    z = causal_conv3d(h, enc["conv_out"]["w"], enc["conv_out"]["b"])
+    z = _conv_proj(h, enc["conv_out"])
 
     # Normalize by per-(channel, frame) stats, broadcast over H, W.
     t_lat = z.shape[1]
@@ -459,20 +527,20 @@ def vae_decode(params: Params, z: jax.Array, cfg: VAEConfig,
     std = params["latents_std"][:, :t_lat].T[None, :, None, None, :]
     z = (z.astype(jnp.float32) / cfg.scaling_factor * std + mean).astype(z.dtype)
 
-    h = causal_conv3d(z, dec["conv_in"]["w"], dec["conv_in"]["b"])
+    h = _conv_proj(z, dec["conv_in"])
     mid = dec["mid"]
     h = _resblock(h, mid["res1"])
     h = _attn_spatial(h, mid["attn_s"])
     h = _attn_temporal(h, mid["attn_t"])
     h = _resblock(h, mid["res2"])
     for level in dec["levels"]:
-        if "upsample" in level:
-            h = _upsample(h, level["upsample"])
         for rb in level["resblocks"]:
             h = _resblock(h, rb)
+        if "upsample" in level:
+            h = _upsample(h, level["upsample"])
     h = group_norm_per_frame(h, dec["norm_out"]["scale"], dec["norm_out"]["bias"])
     h = jax.nn.silu(h)
-    h = causal_conv3d(h, dec["conv_out"]["w"], dec["conv_out"]["b"])
+    h = _conv_proj(h, dec["conv_out"])
 
     pixel_t = cfg.pixel_num_frames(t_lat)
     return haar_unpatch(h, levels, pixel_t, out_layout=out_layout)

@@ -205,8 +205,12 @@ class TestOverlappedDecode:
         finally:
             inv_pipe.decode_chunk_frames = None
         assert chunked.shape == full.shape == (1, 17, 16, 16, 3)
-        # First chunk covers latents 0..1 -> pixel frames 0..8: exact.
-        np.testing.assert_array_equal(chunked[:, :9], full[:, :9])
+        # First chunk covers latents 0..1 -> pixel frames 0..8 (causality).
+        # XLA compiles the two decode shapes into different programs, so the
+        # shared prefix can differ by float fusion noise (~1e-5, measured) —
+        # allow a 1-count uint8 rounding flip, nothing more.
+        diff = np.abs(chunked[:, :9].astype(int) - full[:, :9].astype(int))
+        assert diff.max() <= 1, f"prefix not causal: max diff {diff.max()}"
         # Later frames restart the causal state one latent early — an
         # approximation whose seam quality is a trained-weights property
         # (random weights decorrelate on any state change), so only the
