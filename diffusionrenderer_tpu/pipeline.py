@@ -480,10 +480,11 @@ class DiffusionRendererPipeline:
         # Pallas flash with all-gathered KV on TPU, XLA elsewhere),
         # 'flash_sp', 'ring', or 'xla' (see parallel/flash_sp.py).
         self.sp_attn = "auto"
-        # Max denoise steps per device dispatch in the staged path (this
-        # environment's TPU worker kills executions beyond ~tens of seconds;
-        # 3 flagship steps ~ 16 s).
-        self.max_steps_per_dispatch = 3
+        # Max denoise steps per device dispatch in the staged path.
+        # None = auto: 3 on the axon tunnel (its worker kills executions
+        # beyond ~tens of seconds; 3 flagship steps ~ 13 s), unlimited on
+        # real TPUs/CPU so the whole trajectory is one program.
+        self.max_steps_per_dispatch: Optional[int] = None
         # MLP token-axis chunking inside each DiT block: None = auto
         # (4 chunks at >=16k tokens); 1 disables.
         self.mlp_token_chunks: Optional[int] = None
@@ -637,11 +638,14 @@ class DiffusionRendererPipeline:
             return self._generate_inner(
                 data_batch, normalize_normal, seed, noise_tile, staged)
         except Exception as e:  # pragma: no cover - device-runtime specific
-            # Some TPU runtimes (the axon tunnel here) reclaim device buffers
-            # asynchronously: a generation dispatched right after a large one
-            # can see RESOURCE_EXHAUSTED even though the memory is already
-            # logically free.  Drain and retry once.
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            # The axon tunnel reclaims device buffers asynchronously: a
+            # generation dispatched right after a large one can see
+            # RESOURCE_EXHAUSTED even though the memory is already logically
+            # free.  Drain and retry once — axon only; real TPU runtimes
+            # free synchronously, so there a genuine OOM surfaces untouched.
+            from .utils.platform import is_axon
+
+            if "RESOURCE_EXHAUSTED" not in str(e) or not is_axon():
                 raise
             import gc
             import time as _time
@@ -770,7 +774,12 @@ class DiffusionRendererPipeline:
                         per_row=per_row_seeds,
                     )
                     pairs = np.stack([sigmas[:-1], sigmas[1:]], axis=1)
-                    seg = max(1, int(self.max_steps_per_dispatch))
+                    if self.max_steps_per_dispatch is None:
+                        from .utils.platform import is_axon
+
+                        seg = 3 if is_axon() else len(pairs)
+                    else:
+                        seg = max(1, int(self.max_steps_per_dispatch))
                     for start in range(0, len(pairs), seg):
                         sample = _sample_segment_jit(
                             self.dit_params,
