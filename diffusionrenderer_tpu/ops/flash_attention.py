@@ -43,7 +43,7 @@ _LOG2E = math.log2(math.e)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
-                  acc_ref, *, has_bias: bool):
+                  acc_ref, *, has_bias: bool, m_out_ref=None, l_out_ref=None):
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
 
@@ -92,6 +92,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
     @pl.when(kv_idx == num_kv - 1)
     def _finalize():
         o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        if m_out_ref is not None:
+            # Partial-stats outputs for cross-shard online-softmax merging
+            # (ring attention): running max (log2 domain, q pre-scaled by
+            # scale*log2e) and normalizer, one lane per query row.
+            m_out_ref[0, 0] = m_ref[:, 0]
+            l_out_ref[0, 0] = l_ref[:, 0]
 
 
 def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
@@ -99,29 +105,23 @@ def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
                   has_bias=False)
 
 
+def _flash_kernel_partial(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
+                          m_ref, l_ref, acc_ref):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_ref, l_ref, acc_ref,
+                  has_bias=False, m_out_ref=m_out_ref, l_out_ref=l_out_ref)
+
+
+def _flash_kernel_partial_bias(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                               m_out_ref, l_out_ref, m_ref, l_ref, acc_ref):
+    _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref,
+                  has_bias=True, m_out_ref=m_out_ref, l_out_ref=l_out_ref)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
-)
-def flash_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
-    interpret: bool | None = None,
-) -> jax.Array:
-    """softmax(q k^T / sqrt(d)) v, non-causal.
-
-    q: (B, Lq, H, D); k, v: (B, Lk, H, D) -> (B, Lq, H, D).
-    On non-TPU backends runs in Pallas interpret mode (for tests).
-    """
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-
+def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats):
     b, lq, h, d = q.shape
     lk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -172,20 +172,28 @@ def flash_attention(
         in_specs.append(
             pl.BlockSpec((1, block_k), lambda bi, hi, i, j: (0, j))
         )
-        kernel = functools.partial(_flash_kernel, has_bias=True)
+        kernel = (_flash_kernel_partial_bias if partial_stats
+                  else functools.partial(_flash_kernel, has_bias=True))
     else:
-        kernel = _flash_kernel_nobias
+        kernel = _flash_kernel_partial if partial_stats else _flash_kernel_nobias
 
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, h * d), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bi, hi, i, j: (bi, i, hi))
+    ]
+    if partial_stats:
+        stat_spec = pl.BlockSpec((1, 1, block_q), lambda bi, hi, i, j: (bi, hi, i))
+        out_shape += [jax.ShapeDtypeStruct((b, h, lq_pad), jnp.float32)] * 2
+        out_specs += [stat_spec, stat_spec]
+
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, lq_pad, h * d), q.dtype),
+        out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (1, block_q, d), lambda bi, hi, i, j: (bi, i, hi)
-            ),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),  # running max
                 pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
@@ -204,4 +212,56 @@ def flash_attention(
         interpret=interpret,
     )(*inputs)
 
-    return out[:, :lq].reshape(b, lq, h, d)
+    out = res[0][:, :lq].reshape(b, lq, h, d)
+    if partial_stats:
+        m = res[1][..., :lq]
+        l = res[2][..., :lq]
+        return out, m, l
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(d)) v, non-causal.
+
+    q: (B, Lq, H, D); k, v: (B, Lk, H, D) -> (B, Lq, H, D).
+    On non-TPU backends runs in Pallas interpret mode (for tests).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    return _flash_call(q, k, v, block_q, block_k, interpret,
+                       partial_stats=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention_partial(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+):
+    """Flash attention returning per-shard softmax statistics.
+
+    Returns (out, m, l): out (B, Lq, H, D) is the locally-normalized
+    attention over THIS kv shard; m (B, H, Lq) is the running max in the
+    log2 domain (q pre-scaled by softmax_scale*log2e — exp2 is the native
+    VPU op); l (B, H, Lq) the local normalizer.  Cross-shard exact merging
+    (ring attention): o_unnorm = out * l, then the standard online-softmax
+    combine with exp2 (parallel/ring_attention.py)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    return _flash_call(q, k, v, block_q, block_k, interpret,
+                       partial_stats=True)
