@@ -142,6 +142,10 @@ def run_rung(metric, cfg, thw, dtype, quant) -> None:
         "value": round(dt * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_s / dt, 3),
+        # vs_baseline denominator is an ESTIMATE, not a measurement: the
+        # torch reference on A100 at TF32 tensor-core 40% MFU (62 TFLOP/s) —
+        # no GPU exists in this environment to measure (see BASELINE.md).
+        "baseline_note": "estimated A100-TF32 reference @ 40% MFU",
     }))
     print(
         f"# {tokens} tokens, {flops/1e12:.1f} TFLOP/step, achieved "

@@ -96,8 +96,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
             # Partial-stats outputs for cross-shard online-softmax merging
             # (ring attention): running max (log2 domain, q pre-scaled by
             # scale*log2e) and normalizer, one lane per query row.
-            m_out_ref[0, 0] = m_ref[:, 0]
-            l_out_ref[0, 0] = l_ref[:, 0]
+            m_out_ref[0, 0, 0] = m_ref[:, 0]
+            l_out_ref[0, 0, 0] = l_ref[:, 0]
 
 
 def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
@@ -111,6 +111,131 @@ def _flash_kernel_partial(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
                   has_bias=False, m_out_ref=m_out_ref, l_out_ref=l_out_ref)
 
 
+_LOG2_127 = math.log2(127.0)
+
+
+def _flash_kernel_bounded(*refs, has_bias: bool):
+    """Flash attention WITHOUT the running max: the caller supplies a
+    per-row upper bound m_i >= max_j s_ij (Cauchy-Schwarz:
+    ||q_i||_2 * max_j ||k_j||_2, computed in O(L*D) outside).
+
+    exp2(s - m_i) then never overflows, and because fp32 is floating point
+    the uniform 2^-(m_i - true_max) scale-down of p and l cancels exactly in
+    acc/l — same numerics as the online-softmax kernel to fp32 rounding,
+    PROVIDED the bound overshoot stays under ~100 log2 units (p underflows
+    beyond that; the finalize clamps l so the failure mode is zeros, not
+    NaN).  With per-head RMS-normalized q/k (this DiT: CleanGeneralDIT.py
+    qkv_norm 'RRI') the overshoot is log2(1/max-cosine) — single digits.
+    Drops per tile: the max lane-reduction, the running-max maximum, the
+    alpha rescale of acc and l.
+    """
+    it = iter(refs)
+    q_ref, k_ref, v_ref, mb_ref = (next(it) for _ in range(4))
+    bias_ref = next(it) if has_bias else None
+    o_ref = next(it)
+    l_ref, acc_ref = (next(it) for _ in range(2))
+
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_bias:
+        s = s + bias_ref[0][None, :]
+
+    shift = mb_ref[0, 0, 0][:, None]  # (BLK_Q, 1) fixed per row
+    p = jnp.exp2(s - shift)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    l_ref[...] = l_ref[...] + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+    )
+    acc_ref[...] = acc_ref[...] + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finalize():
+        o_ref[0] = (
+            acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-37)
+        ).astype(o_ref.dtype)
+
+
+def _flash_kernel_int8(*refs, pv8: bool, has_bias: bool):
+    """SageAttention-style int8 flash attention.
+
+    QK^T runs on the MXU's 2x-throughput int8 path; scores are dequantized
+    with the rank-1 per-row scale product sq_i * sk_j (q was pre-scaled by
+    softmax_scale*log2e BEFORE quantization, so the exp2 softmax is
+    unchanged).  With pv8, P is quantized to int8 by folding *127 into the
+    exp2 shift (p' = exp2(s - m + log2 127) <= 127); the 127 cancels exactly
+    in the final acc/l normalization, and V is int8 with per-channel scales.
+    """
+    it = iter(refs)
+    q_ref, k_ref, v_ref, sq_ref, sk_ref = (next(it) for _ in range(5))
+    sv_ref = next(it) if pv8 else None
+    bias_ref = next(it) if has_bias else None
+    o_ref = next(it)
+    m_ref, l_ref, acc_ref = (next(it) for _ in range(3))
+
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    s_i32 = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = (s_i32.astype(jnp.float32)
+         * sq_ref[0, 0, 0][:, None] * sk_ref[0, 0, 0][None, :])
+    if has_bias:
+        s = s + bias_ref[0][None, :]
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp2(m_prev - m_new)
+
+    if pv8:
+        p = jnp.exp2(s - m_new[:, :1] + _LOG2_127)  # <= 127
+        p_i8 = jnp.round(p).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p_i8, v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * sv_ref[0, 0, 0][None, :]
+    else:
+        p = jnp.exp2(s - m_new[:, :1])
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    l_ref[...] = l_prev * alpha + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+    m_ref[...] = m_new
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finalize():
+        # With pv8 both acc and l carry the 127 factor — it cancels here.
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
 def _flash_kernel_partial_bias(q_ref, k_ref, v_ref, bias_ref, o_ref,
                                m_out_ref, l_out_ref, m_ref, l_ref, acc_ref):
     _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref,
@@ -121,7 +246,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats):
+def _quant_rows_int8(x):
+    """Per-(b, token, head) symmetric int8 quantization over head_dim.
+
+    x: (B, L, H, D) -> (int8 same shape, scales (B, H, L) fp32)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)  # (B, L, H)
+    s = jnp.maximum(amax, 1e-6) / 127.0
+    xi = jnp.round(xf / s[..., None]).astype(jnp.int8)
+    return xi, s.transpose(0, 2, 1)
+
+
+def _quant_channels_int8(v):
+    """Per-(b, head, channel) int8 quantization over tokens.
+
+    v: (B, L, H, D) -> (int8 same shape, scales (B, H, D) fp32)."""
+    vf = v.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(vf), axis=1)  # (B, H, D)
+    s = jnp.maximum(amax, 1e-6) / 127.0
+    vi = jnp.round(vf / s[:, None]).astype(jnp.int8)
+    return vi, s
+
+
+def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
+                qk_int8=False, pv_int8=False, bounded=False):
     b, lq, h, d = q.shape
     lk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -137,6 +285,7 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats):
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
     has_bias = lk_pad != lk
+    out_dtype = q.dtype
 
     # Fold the softmax scale and the exp2 conversion factor into q: one
     # O(L*D) multiply here replaces an O(L^2) per-tile VPU pass in the kernel.
@@ -148,42 +297,113 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats):
             x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
         return x
 
-    qb = flat(q, lq, lq_pad)
-    kb = flat(k, lk, lk_pad)
-    vb = flat(v, lk, lk_pad)
+    def flat_stats(s, l, l_pad):
+        # (B, H, L) -> (B, H, 1, L_pad): the dummy axis keeps the block's
+        # second-to-last dim equal to the array's (Mosaic tiling rule).
+        if l_pad != l:
+            s = jnp.pad(s, ((0, 0), (0, 0), (0, l_pad - l)))
+        return s[:, :, None, :]
 
-    inputs = [qb, kb, vb]
-    if has_bias:
-        # Additive key-mask row: 0 on valid keys, -inf-like on the padded tail.
-        bias = jnp.zeros((1, lk_pad), jnp.float32).at[:, lk:].set(_NEG_INF)
-        inputs.append(bias)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bi, hi, i, j: (bi, i, hi))
+    k_spec = pl.BlockSpec((1, block_k, d), lambda bi, hi, i, j: (bi, j, hi))
+
+    if bounded:
+        assert not partial_stats and not qk_int8 and not pv_int8, \
+            "bounded mode does not compose with int8 (int8 P needs a tight max)"
+        # Per-row score upper bound (log2 domain, q carries scale*log2e):
+        # m_i = ||q_i||_2 * max_j ||k_j||_2 >= max_j q_i . k_j.
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))  # (B, L, H)
+        kn = jnp.sqrt(jnp.sum(kf * kf, axis=-1))
+        mb = (qn * jnp.max(kn, axis=1, keepdims=True)).transpose(0, 2, 1)
+        inputs = [
+            flat(q, lq, lq_pad), flat(k, lk, lk_pad), flat(v, lk, lk_pad),
+            flat_stats(mb, lq, lq_pad),
+        ]
+        in_specs = [
+            q_spec, k_spec, k_spec,
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda bi, hi, i, j: (bi, hi, 0, i)),
+        ]
+        if has_bias:
+            bias = jnp.zeros((1, lk_pad), jnp.float32).at[:, lk:].set(_NEG_INF)
+            inputs.append(bias)
+            in_specs.append(
+                pl.BlockSpec((1, block_k), lambda bi, hi, i, j: (0, j))
+            )
+        kernel = functools.partial(_flash_kernel_bounded, has_bias=has_bias)
+    elif qk_int8:
+        assert not partial_stats, "partial stats + int8 not supported"
+        qi, sq = _quant_rows_int8(q)  # q already carries scale*log2e
+        ki, sk = _quant_rows_int8(k)
+        if pv_int8:
+            vi, sv = _quant_channels_int8(v)
+            vb = flat(vi, lk, lk_pad)
+        else:
+            vb = flat(v, lk, lk_pad)
+        inputs = [
+            flat(qi, lq, lq_pad), flat(ki, lk, lk_pad), vb,
+            flat_stats(sq, lq, lq_pad), flat_stats(sk, lk, lk_pad),
+        ]
+        in_specs = [
+            q_spec, k_spec, k_spec,
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda bi, hi, i, j: (bi, hi, 0, i)),
+            pl.BlockSpec((1, 1, 1, block_k),
+                         lambda bi, hi, i, j: (bi, hi, 0, j)),
+        ]
+        if pv_int8:
+            inputs.append(sv[:, :, None, :])  # (B, H, 1, D)
+            in_specs.append(
+                pl.BlockSpec((1, 1, 1, d), lambda bi, hi, i, j: (bi, hi, 0, 0))
+            )
+        if has_bias:
+            bias = jnp.zeros((1, lk_pad), jnp.float32).at[:, lk:].set(_NEG_INF)
+            inputs.append(bias)
+            in_specs.append(
+                pl.BlockSpec((1, block_k), lambda bi, hi, i, j: (0, j))
+            )
+        kernel = functools.partial(
+            _flash_kernel_int8, pv8=pv_int8, has_bias=has_bias
+        )
+    else:
+        qb = flat(q, lq, lq_pad)
+        kb = flat(k, lk, lk_pad)
+        vb = flat(v, lk, lk_pad)
+
+        inputs = [qb, kb, vb]
+        in_specs = [q_spec, k_spec, k_spec]
+        if has_bias:
+            # Additive key-mask row: 0 on valid keys, -inf-like on the
+            # padded tail.
+            bias = jnp.zeros((1, lk_pad), jnp.float32).at[:, lk:].set(_NEG_INF)
+            inputs.append(bias)
+            in_specs.append(
+                pl.BlockSpec((1, block_k), lambda bi, hi, i, j: (0, j))
+            )
+            kernel = (_flash_kernel_partial_bias if partial_stats
+                      else functools.partial(_flash_kernel, has_bias=True))
+        else:
+            kernel = (_flash_kernel_partial if partial_stats
+                      else _flash_kernel_nobias)
 
     # Grid walks (batch, head, q-block) in parallel and the kv axis
     # sequentially; each head is a d-wide slice of the lane axis — no
     # transposed copies of q/k/v.
     grid = (b, h, lq_pad // block_q, lk_pad // block_k)
 
-    in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda bi, hi, i, j: (bi, i, hi)),
-        pl.BlockSpec((1, block_k, d), lambda bi, hi, i, j: (bi, j, hi)),
-        pl.BlockSpec((1, block_k, d), lambda bi, hi, i, j: (bi, j, hi)),
-    ]
-    if has_bias:
-        in_specs.append(
-            pl.BlockSpec((1, block_k), lambda bi, hi, i, j: (0, j))
-        )
-        kernel = (_flash_kernel_partial_bias if partial_stats
-                  else functools.partial(_flash_kernel, has_bias=True))
-    else:
-        kernel = _flash_kernel_partial if partial_stats else _flash_kernel_nobias
-
-    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, h * d), q.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, h * d), out_dtype)]
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda bi, hi, i, j: (bi, i, hi))
     ]
     if partial_stats:
-        stat_spec = pl.BlockSpec((1, 1, block_q), lambda bi, hi, i, j: (bi, hi, i))
-        out_shape += [jax.ShapeDtypeStruct((b, h, lq_pad), jnp.float32)] * 2
+        # Dummy second-to-last axis: Mosaic requires the block's trailing two
+        # dims to divide (8, 128) or equal the array's.
+        stat_spec = pl.BlockSpec(
+            (1, 1, 1, block_q), lambda bi, hi, i, j: (bi, hi, 0, i)
+        )
+        out_shape += [jax.ShapeDtypeStruct((b, h, 1, lq_pad), jnp.float32)] * 2
         out_specs += [stat_spec, stat_spec]
 
     res = pl.pallas_call(
@@ -194,8 +414,10 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats):
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            scratch_shapes=(
+                [] if bounded else
+                [pltpu.VMEM((block_q, 128), jnp.float32)]  # running max
+            ) + [
                 pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
                 pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
             ],
@@ -214,14 +436,16 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats):
 
     out = res[0][:, :lq].reshape(b, lq, h, d)
     if partial_stats:
-        m = res[1][..., :lq]
-        l = res[2][..., :lq]
+        m = res[1][:, :, 0, :lq]
+        l = res[2][:, :, 0, :lq]
         return out, m, l
     return out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "qk_int8", "pv_int8",
+                     "bounded"),
 )
 def flash_attention(
     q: jax.Array,
@@ -230,16 +454,30 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
+    qk_int8: bool = False,
+    pv_int8: bool = False,
+    bounded: bool = False,
 ) -> jax.Array:
     """softmax(q k^T / sqrt(d)) v, non-causal.
 
     q: (B, Lq, H, D); k, v: (B, Lk, H, D) -> (B, Lq, H, D).
     On non-TPU backends runs in Pallas interpret mode (for tests).
+
+    bounded: replace the per-tile running max with a precomputed per-row
+    Cauchy-Schwarz bound (fp32's floating mantissa makes the uniform
+    scale-down cancel in acc/l — same numerics to fp32 rounding, fewer VPU
+    passes per tile).  qk_int8: SageAttention-style per-token int8
+    quantization of q and k — QK^T on the MXU int8 path, scores dequantized
+    per tile with the rank-1 scale product.  pv_int8 additionally quantizes
+    P (exact-cancelling 127 fold) and V (per-channel) so PV is int8 too.
+    Accuracy bounds in tests/test_flash_attention.py.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     return _flash_call(q, k, v, block_q, block_k, interpret,
-                       partial_stats=False)
+                       partial_stats=False,
+                       qk_int8=(qk_int8 or pv_int8) and not bounded,
+                       pv_int8=pv_int8, bounded=bounded)
 
 
 @functools.partial(

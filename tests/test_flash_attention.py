@@ -67,6 +67,45 @@ class TestFlashAttention:
         assert np.all(np.isfinite(got))
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("l", [256, 200])  # even split + ragged tail
+    def test_bounded_matches_xla(self, l):
+        """Bounded-softmax variant (precomputed Cauchy-Schwarz row bound,
+        no running max): exact to fp32 rounding — the default TPU dispatch."""
+        q, k, v = make_qkv(1, l, 2, 128, seed=5)
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, bounded=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+    def test_bounded_rms_normalized_envelope(self):
+        """Sharp softmax within the DiT's operating envelope (per-head
+        RMS-normalized q/k with gamma ~2.5): bound overshoot stays tiny."""
+        q, k, v = make_qkv(1, 256, 2, 128, seed=6)
+        rms = lambda x: x * jax.lax.rsqrt(
+            jnp.mean(x * x, axis=-1, keepdims=True) + 1e-6)
+        q, k = rms(q) * 2.5, rms(k) * 2.5
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, bounded=True)
+        )
+        assert np.all(np.isfinite(got))
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("mode", ["qk8", "qk8pv8"])
+    def test_int8_modes_within_quant_tolerance(self, mode):
+        """SageAttention-style int8 paths: error bounded by int8 resolution."""
+        q, k, v = make_qkv(2, 256, 2, 64, seed=7)
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(flash_attention(
+            q, k, v, block_q=128, block_k=128, interpret=True,
+            qk_int8=True, pv_int8=(mode == "qk8pv8"),
+        ))
+        tol = 0.012 if mode == "qk8" else 0.025
+        assert np.abs(got - expected).max() < tol
+
     def test_wide_single_head_512(self):
         """The VAE's single-head C=512 attention path."""
         b, l, h, d = 2, 300, 1, 512
