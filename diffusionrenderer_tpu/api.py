@@ -45,7 +45,7 @@ def load_pipeline(
     num_steps: int = 15,
     seed: int = 42,
     dtype: jnp.dtype = jnp.bfloat16,
-    compute_dtype: str = "bfloat16",
+    compute_dtype: Optional[str] = None,
     vae_config_json: Optional[str] = None,
     quantize_int8: bool = False,
     act_quant: bool = False,

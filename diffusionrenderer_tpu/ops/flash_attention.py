@@ -169,6 +169,61 @@ def _flash_kernel_bounded(*refs, has_bias: bool):
         ).astype(o_ref.dtype)
 
 
+def _flash_kernel_bounded_pipe(*refs, has_bias: bool, num_kv: int):
+    """Software-pipelined bounded kernel: tile j's QK^T (MXU) is independent
+    of tile j-1's exp2/sum (VPU), so the scheduler can overlap them.
+
+    The score tile lives in a VMEM scratch across grid steps: step j computes
+    s_j = q k_j^T and *consumes* s_{j-1} (exp2 -> PV -> acc/l).  The grid runs
+    num_kv+1 steps; step 0's consume eats a -inf-initialized scratch (p = 0,
+    exact no-op) and the last step skips the produce.  v's index map lags k's
+    by one tile.  Numerics identical to _flash_kernel_bounded (same ops, same
+    order per tile)."""
+    it = iter(refs)
+    q_ref, k_ref, v_ref, mb_ref = (next(it) for _ in range(4))
+    bias_ref = next(it) if has_bias else None
+    o_ref = next(it)
+    s_scr, l_ref, acc_ref = (next(it) for _ in range(3))
+
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        s_scr[...] = jnp.full_like(s_scr, _NEG_INF)  # exp2 -> exactly 0
+
+    shift = mb_ref[0, 0, 0][:, None]  # (BLK_Q, 1) fixed per row
+
+    # Consume tile j-1 (VPU exp2 + MXU PV) ...
+    p = jnp.exp2(s_scr[...] - shift)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l_ref[...] = l_ref[...] + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+    )
+    acc_ref[...] = acc_ref[...] + pv
+
+    # ... while producing tile j's scores (MXU, independent of the exp2).
+    @pl.when(j < num_kv)
+    def _produce():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if has_bias:
+            s = s + bias_ref[0][None, :]
+        s_scr[...] = s
+
+    @pl.when(j == num_kv)
+    def _finalize():
+        o_ref[0] = (
+            acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-37)
+        ).astype(o_ref.dtype)
+
+
 def _flash_kernel_int8(*refs, pv8: bool, has_bias: bool):
     """SageAttention-style int8 flash attention.
 
@@ -269,7 +324,8 @@ def _quant_channels_int8(v):
 
 
 def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
-                qk_int8=False, pv_int8=False, bounded=False):
+                qk_int8=False, pv_int8=False, bounded=False,
+                pipelined=False):
     b, lq, h, d = q.shape
     lk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -317,22 +373,41 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
         qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))  # (B, L, H)
         kn = jnp.sqrt(jnp.sum(kf * kf, axis=-1))
         mb = (qn * jnp.max(kn, axis=1, keepdims=True)).transpose(0, 2, 1)
+        nkv = lk_pad // block_k
+        if pipelined:
+            # Grid runs nkv+1 steps; k's index is clamped at the end (dummy
+            # fetch, produce skipped) and v lags k by one tile.
+            k_spec_b = pl.BlockSpec(
+                (1, block_k, d),
+                lambda bi, hi, i, j: (bi, jnp.minimum(j, nkv - 1), hi))
+            v_spec_b = pl.BlockSpec(
+                (1, block_k, d),
+                lambda bi, hi, i, j: (bi, jnp.maximum(j - 1, 0), hi))
+            bias_spec = pl.BlockSpec(
+                (1, block_k), lambda bi, hi, i, j: (0, jnp.minimum(j, nkv - 1)))
+        else:
+            k_spec_b, v_spec_b = k_spec, k_spec
+            bias_spec = pl.BlockSpec((1, block_k),
+                                     lambda bi, hi, i, j: (0, j))
         inputs = [
             flat(q, lq, lq_pad), flat(k, lk, lk_pad), flat(v, lk, lk_pad),
             flat_stats(mb, lq, lq_pad),
         ]
         in_specs = [
-            q_spec, k_spec, k_spec,
+            q_spec, k_spec_b, v_spec_b,
             pl.BlockSpec((1, 1, 1, block_q),
                          lambda bi, hi, i, j: (bi, hi, 0, i)),
         ]
         if has_bias:
             bias = jnp.zeros((1, lk_pad), jnp.float32).at[:, lk:].set(_NEG_INF)
             inputs.append(bias)
-            in_specs.append(
-                pl.BlockSpec((1, block_k), lambda bi, hi, i, j: (0, j))
-            )
-        kernel = functools.partial(_flash_kernel_bounded, has_bias=has_bias)
+            in_specs.append(bias_spec)
+        if pipelined:
+            kernel = functools.partial(_flash_kernel_bounded_pipe,
+                                       has_bias=has_bias, num_kv=nkv)
+        else:
+            kernel = functools.partial(_flash_kernel_bounded,
+                                       has_bias=has_bias)
     elif qk_int8:
         assert not partial_stats, "partial stats + int8 not supported"
         qi, sq = _quant_rows_int8(q)  # q already carries scale*log2e
@@ -390,8 +465,9 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
 
     # Grid walks (batch, head, q-block) in parallel and the kv axis
     # sequentially; each head is a d-wide slice of the lane axis — no
-    # transposed copies of q/k/v.
-    grid = (b, h, lq_pad // block_q, lk_pad // block_k)
+    # transposed copies of q/k/v.  The pipelined variant adds one drain step.
+    grid = (b, h, lq_pad // block_q,
+            lk_pad // block_k + (1 if (bounded and pipelined) else 0))
 
     out_shape = [jax.ShapeDtypeStruct((b, lq_pad, h * d), out_dtype)]
     out_specs = [
@@ -415,6 +491,10 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=(
+                # pipelined: cross-step score tile; plain bounded: nothing;
+                # online-softmax: the running max.
+                [pltpu.VMEM((block_q, block_k), jnp.float32)]
+                if (bounded and pipelined) else
                 [] if bounded else
                 [pltpu.VMEM((block_q, 128), jnp.float32)]  # running max
             ) + [
@@ -445,7 +525,7 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "interpret", "qk_int8", "pv_int8",
-                     "bounded"),
+                     "bounded", "pipelined"),
 )
 def flash_attention(
     q: jax.Array,
@@ -457,6 +537,7 @@ def flash_attention(
     qk_int8: bool = False,
     pv_int8: bool = False,
     bounded: bool = False,
+    pipelined: bool = False,
 ) -> jax.Array:
     """softmax(q k^T / sqrt(d)) v, non-causal.
 
@@ -471,13 +552,18 @@ def flash_attention(
     per tile with the rank-1 scale product.  pv_int8 additionally quantizes
     P (exact-cancelling 127 fold) and V (per-channel) so PV is int8 too.
     Accuracy bounds in tests/test_flash_attention.py.
+
+    pipelined (bounded only): carry the score tile in VMEM scratch so tile
+    j's QK^T (MXU) overlaps tile j-1's exp2/sum (VPU); numerically identical
+    to bounded.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     return _flash_call(q, k, v, block_q, block_k, interpret,
                        partial_stats=False,
                        qk_int8=(qk_int8 or pv_int8) and not bounded,
-                       pv_int8=pv_int8, bounded=bounded)
+                       pv_int8=pv_int8, bounded=bounded,
+                       pipelined=pipelined and bounded)
 
 
 @functools.partial(

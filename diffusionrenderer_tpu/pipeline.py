@@ -457,7 +457,7 @@ class DiffusionRendererPipeline:
         guidance: float = 0.0,
         num_steps: int = 15,
         seed: int = 42,
-        compute_dtype: str = "bfloat16",
+        compute_dtype: Optional[str] = None,
         net_config=None,
         vae_config=None,
         mesh=None,
@@ -468,6 +468,22 @@ class DiffusionRendererPipeline:
         self.guidance = guidance
         self.num_steps = num_steps
         self.seed = seed
+        if compute_dtype is None:
+            # Follow the weights: fp32 params (tests, CPU parity work) run
+            # fp32; bf16 production weights run bf16.  XLA convs/matmuls
+            # require matching operand dtypes, so a mismatched default would
+            # crash in the VAE's causal_conv3d.
+            leaf = next(
+                (x for x in jax.tree_util.tree_leaves(vae_params)
+                 if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                           jnp.floating)),
+                None,
+            )
+            compute_dtype = (
+                "float32"
+                if leaf is not None and leaf.dtype == jnp.float32
+                else "bfloat16"
+            )
         self.compute_dtype = compute_dtype
         # Optional architecture overrides (scaled-down models for tests and
         # ablations); None = flagship FADITV2_7B / CV8x8x8.

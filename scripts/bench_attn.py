@@ -41,8 +41,10 @@ def main():
         kw["qk_int8"] = True
     if args.mode in ("qk8pv8", "boundedpv8"):
         kw["pv_int8"] = True
-    if args.mode in ("bounded", "boundedpv8"):
+    if args.mode in ("bounded", "boundedpv8", "boundedpipe"):
         kw["bounded"] = True
+    if args.mode == "boundedpipe":
+        kw["pipelined"] = True
 
     keys = jax.random.split(jax.random.key(0), 3 * (args.iters + 1))
     flops = 4.0 * l * l * d * h

@@ -94,6 +94,19 @@ class TestFlashAttention:
         assert np.all(np.isfinite(got))
         np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("l", [256, 200])  # even split + ragged tail
+    def test_bounded_pipelined_matches_xla(self, l):
+        """Software-pipelined bounded variant (score tile carried in VMEM
+        scratch across grid steps, one drain step): same ops per tile as
+        bounded — identical numerics required."""
+        q, k, v = make_qkv(1, l, 2, 128, seed=5)
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, bounded=True, pipelined=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
     @pytest.mark.parametrize("mode", ["qk8", "qk8pv8"])
     def test_int8_modes_within_quant_tolerance(self, mode):
         """SageAttention-style int8 paths: error bounded by int8 resolution."""

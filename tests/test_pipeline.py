@@ -57,6 +57,27 @@ def inv_pipe():
     return make_pipeline("inverse")
 
 
+def test_compute_dtype_derived_from_params():
+    """Default compute_dtype follows the weights: fp32 params must run fp32
+    end-to-end without an explicit compute_dtype (XLA convs reject mixed
+    bf16/fp32 operands — regression for the public-API footgun)."""
+    dit = init_dit_params(jax.random.key(0), TINY_INV_NET, dtype=jnp.float32)
+    vae = init_vae_params(jax.random.key(1), TINY_VAE, dtype=jnp.float32)
+    pipe = DiffusionRendererPipeline(
+        dit, vae, model_type="inverse", num_steps=2,
+        net_config=TINY_INV_NET, vae_config=TINY_VAE,
+    )
+    assert pipe.compute_dtype == "float32"
+    video = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1, 1, 16, 16, 3)), jnp.float32
+    )
+    out = pipe.generate(
+        {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}, seed=0
+    )
+    assert out.shape == (1, 1, 16, 16, 3) and np.isfinite(
+        np.asarray(out, np.float32)).all()
+
+
 @pytest.fixture(scope="module")
 def fwd_pipe():
     return make_pipeline("forward")
