@@ -129,8 +129,11 @@ def inverse_render(
     pipeline.guidance = guidance
     pipeline.seed = seed
 
+    # All full-res math stays on the host: the pipeline uploads conditions
+    # NCTHW (lane-pad-safe); an eager device NTHWC video would occupy ~42x
+    # its nominal bytes (see pipeline._generate_inner).
     video = to_5d_video(np.asarray(image, np.float32))
-    video = video * 2.0 - 1.0  # [0,1] -> [-1,1] (ref: nodes.py:183)
+    video = np.asarray(video) * 2.0 - 1.0  # [0,1] -> [-1,1] (ref: nodes.py:183)
     b, t, h, w, c = video.shape
 
     indices = [GBUFFER_INDEX_MAPPING[p] for p in passes]
@@ -138,10 +141,10 @@ def inverse_render(
 
     if batch_passes and len(passes) > 1:
         n = len(passes)
-        video_n = jnp.tile(video, (n, 1, 1, 1, 1))
-        ctx = jnp.repeat(jnp.asarray(indices, jnp.int32), b)
-        normal_mask = jnp.repeat(
-            jnp.asarray([float(p == "normal") for p in passes]), b
+        video_n = np.tile(video, (n, 1, 1, 1, 1))
+        ctx = np.repeat(np.asarray(indices, np.int32), b)
+        normal_mask = np.repeat(
+            np.asarray([float(p == "normal") for p in passes]), b
         )
         out = pipeline.generate(
             {"rgb": video_n, "video": video_n, "context_index": ctx},
@@ -198,15 +201,20 @@ def forward_render(
         "metallic": metallic,
         "basecolor": base_color,
     }
+    # Host-side prep throughout: the pipeline uploads conditions NCTHW
+    # (lane-pad-safe); eager device NTHWC videos would be ~42x padded.
     data_batch: Dict[str, Any] = {}
     shape = None
     for name, g in gbuffers.items():
-        g5 = to_5d_video(np.asarray(g, np.float32))
-        data_batch[name] = jnp.asarray(g5) * 2.0 - 1.0  # (ref: nodes.py:278)
+        g5 = np.asarray(to_5d_video(np.asarray(g, np.float32)))
+        data_batch[name] = g5 * 2.0 - 1.0  # (ref: nodes.py:278)
         shape = g5.shape
     b, t, h, w, _ = shape
     data_batch["video"] = data_batch["depth"]  # (ref: nodes.py:281)
 
+    # The env projection is static across frames (the reference repeats one
+    # projection per frame, preprocess_envmap.py); compute ONE frame on
+    # device, pull it to the host, and broadcast there.
     if env_format in ("proj", "proj_direct"):
         env = render_projection_from_panorama(
             env_map,
@@ -214,23 +222,24 @@ def forward_render(
             env_brightness=env_brightness,
             env_flip=env_flip_horizontal,
             env_rot=env_rotation,
-            num_frames=t,
+            num_frames=1,
             mode="cubemap" if env_format == "proj" else "direct",
         )
     elif env_format == "ball":
-        env = tonemap_image_direct(env_map, resolution=(h, w), num_frames=t)
+        env = tonemap_image_direct(env_map, resolution=(h, w), num_frames=1)
     else:
         raise ValueError(f"Unknown env_format {env_format!r}")
 
     # env_ldr/env_log map to [-1,1]; env_nrm is the raw direction field
     # (NOT rescaled) (ref: nodes.py:298-304).
-    env_ldr = env["env_ldr"][None] * 2.0 - 1.0  # (1, T, H, W, 3)
-    env_log = env["env_log"][None] * 2.0 - 1.0
-    env_nrm = jnp.broadcast_to(latlong_vec(h, w)[None, None], (1, t, h, w, 3))
+    env_ldr = np.asarray(env["env_ldr"], np.float32)[0] * 2.0 - 1.0  # (H, W, 3)
+    env_log = np.asarray(env["env_log"], np.float32)[0] * 2.0 - 1.0
+    env_nrm = np.asarray(latlong_vec(h, w), np.float32)
 
-    data_batch["env_ldr"] = jnp.broadcast_to(env_ldr, (b, t, h, w, 3))
-    data_batch["env_log"] = jnp.broadcast_to(env_log, (b, t, h, w, 3))
-    data_batch["env_nrm"] = jnp.broadcast_to(env_nrm, (b, t, h, w, 3))
+    bc = lambda x: np.broadcast_to(x[None, None], (b, t, h, w, 3))
+    data_batch["env_ldr"] = bc(env_ldr)
+    data_batch["env_log"] = bc(env_log)
+    data_batch["env_nrm"] = bc(env_nrm)
 
     out = pipeline.generate(data_batch, seed=seed)
     return (out.astype(np.float32) / 255.0).reshape(b * t, h, w, 3)

@@ -84,15 +84,20 @@ def _haar_kernel_np(c: int):
     return w
 
 
-def _haar_level(x: jax.Array) -> jax.Array:
+def _haar_level(x: jax.Array, in_layout: str = "NDHWC",
+                out_layout: str = "NDHWC") -> jax.Array:
     """One exact stride-2 Haar level; all of (T, H, W) must be even.
 
-    (B, T, H, W, C) -> (B, T/2, H/2, W/2, 8C)."""
-    c = x.shape[-1]
+    (B, T, H, W, C) -> (B, T/2, H/2, W/2, 8C) (layouts per in/out_layout).
+
+    The NCDHW options exist because a tiled (..., W, C) buffer lane-pads
+    C -> 128; with pixel-space C=3 that is 42x the nominal bytes (see
+    _haar_level_inverse) — channels-first keeps (H, W) minor instead."""
+    c = x.shape[1] if in_layout == "NCDHW" else x.shape[-1]
     kernel = jnp.asarray(_haar_kernel_np(c), x.dtype)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(2, 2, 2), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        dimension_numbers=(in_layout, "DHWIO", out_layout),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
@@ -123,10 +128,25 @@ def _check_frames(t: int, patch: int) -> None:
         )
 
 
-def haar_patch(x: jax.Array, levels: int) -> jax.Array:
+def haar_patch(x: jax.Array, levels: int,
+               in_layout: str = "NDHWC") -> jax.Array:
     """Causal patching: repeat the first frame 2^levels times, then exact
-    halvings (diffusers CosmosPatchEmbed3d._haar_wavelet_transform)."""
+    halvings (diffusers CosmosPatchEmbed3d._haar_wavelet_transform).
+
+    in_layout='NCDHW' accepts channels-first pixels and stays channels-first
+    through the intermediate levels (channel counts 3, 24, ... would lane-pad
+    heavily channels-last); the final level always emits NDHWC."""
     p = 2**levels
+    if in_layout == "NCDHW":
+        _check_frames(x.shape[2], p)
+        x = jnp.concatenate(
+            [jnp.repeat(x[:, :, :1], p, axis=2), x[:, :, 1:]], axis=2
+        )
+        for lvl in range(levels):
+            last = lvl == levels - 1
+            x = _haar_level(x, in_layout="NCDHW",
+                            out_layout="NDHWC" if last else "NCDHW")
+        return x
     _check_frames(x.shape[1], p)
     x = jnp.concatenate([jnp.repeat(x[:, :1], p, axis=1), x[:, 1:]], axis=1)
     for _ in range(levels):
@@ -484,13 +504,16 @@ def load_latent_stats(params: Params, latents_mean, latents_std,
 # Forward passes
 # ---------------------------------------------------------------------------
 
-def vae_encode(params: Params, x: jax.Array, cfg: VAEConfig) -> jax.Array:
+def vae_encode(params: Params, x: jax.Array, cfg: VAEConfig,
+               in_layout: str = "NDHWC") -> jax.Array:
     """(B, T, H, W, 3) -> normalized latent (B, T', H/8, W/8, 16).
 
+    in_layout='NCDHW' accepts (B, 3, T, H, W) — the lane-pad-safe device
+    layout for full-res pixel video (see haar_patch).
     Deterministic (identity posterior, see module docstring)."""
     levels = int(math.log2(cfg.patch_size))
     enc = params["encoder"]
-    h = haar_patch(x, levels)
+    h = haar_patch(x, levels, in_layout=in_layout)
     h = _conv_proj(h, enc["conv_in"])
     for level in enc["levels"]:
         for rb in level["resblocks"]:

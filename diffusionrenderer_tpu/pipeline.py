@@ -40,6 +40,7 @@ from .config import (
 from .models.dit import dit_forward
 from .models.vae import vae_decode, vae_encode
 from .sampling.edm import edm_sigmas, edm_step, scale_model_input
+from .utils.layout import ncthw_to_nthwc, nthwc_to_ncthw
 
 # Keys searched, in order, to infer input dimensions
 # (ref: diffusion_renderer_pipeline.py:253-265).
@@ -57,16 +58,22 @@ def _prepare_latent_conditions(
     (ref: model_diffusion_renderer.py:158-197).
 
     identity_vae=True treats inputs as already-latent (golden parity harness:
-    isolates sampler+conditioning semantics from VAE weights)."""
+    isolates sampler+conditioning semantics from VAE weights).
+
+    cond_tensors arrive channels-FIRST (B, C, T, H, W): a channels-last
+    pixel buffer lane-pads 3 -> 128 (42x) in HBM, so the pipeline keeps video
+    NCTHW from the host boundary until the Haar patcher has widened channels
+    (models/vae.py haar_patch)."""
     sd = cfg.sigma_data
     pieces = []
     latent = None
     for i, key in enumerate(cfg.condition_keys):
         if present[i]:
             if identity_vae:
-                z = cond_tensors[i] * sd
+                z = ncthw_to_nthwc(cond_tensors[i]) * sd
             else:
-                z = vae_encode(vae_params, cond_tensors[i], cfg.vae) * sd
+                z = vae_encode(vae_params, cond_tensors[i], cfg.vae,
+                               in_layout="NCDHW") * sd
             latent = z
             pieces.append(("z", z))
             if cfg.append_condition_mask:
@@ -129,8 +136,12 @@ def _generate_jit(
             x, P("data", "seq", None)
         )
 
+    # Inputs arrive channels-first (NCTHW — lane-pad-safe device boundary,
+    # see _generate_inner); they stay channels-first until the VAE's Haar
+    # patcher has widened the channel axis (_prepare_latent_conditions).
     cond_tensors = tuple(
-        x.astype(compute_dtype) if x is not None else None for x in cond_tensors
+        x.astype(compute_dtype) if x is not None else None
+        for x in cond_tensors
     )
     latent_condition = _prepare_latent_conditions(
         dit_params, vae_params, cond_tensors, present, cfg,
@@ -241,6 +252,8 @@ def _encode_conditions_jit(vae_params, cond_tensors, *, cfg, present,
                            identity_vae=False):
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
+    # NCTHW at the device boundary (see _generate_inner); channels-first is
+    # preserved into the VAE's Haar patcher.
     cond_tensors = tuple(
         x.astype(compute_dtype) if x is not None else None
         for x in cond_tensors
@@ -698,11 +711,11 @@ class DiffusionRendererPipeline:
             raise ValueError(
                 f"No tensor for shape inference; looked for {SHAPE_INFERENCE_KEYS}"
             )
-        ref_tensor = jnp.asarray(data_batch[shape_key])
-        cfg = self._config_for(ref_tensor.shape)
+        shape5 = tuple(np.shape(data_batch[shape_key]))  # no device upload
+        cfg = self._config_for(shape5)
         logger.info(
             "generate: model_type=%s input=%s (key=%r) latent=%s steps=%d "
-            "guidance=%.2f", self.model_type, tuple(ref_tensor.shape),
+            "guidance=%.2f", self.model_type, shape5,
             shape_key, cfg.latent_shape, self.num_steps, self.guidance,
         )
 
@@ -721,16 +734,40 @@ class DiffusionRendererPipeline:
             (k in data_batch) or (k == "image" and "rgb" in data_batch)
             for k in cfg.condition_keys
         )
+
+        # Device boundary is channels-FIRST (B, C, T, H, W): this runtime
+        # tile-pads a buffer's minor (lane) dimension to 128, so a full-res
+        # channels-last video would occupy ~42x its nominal bytes on chip
+        # (3 -> 128 lanes).  Host inputs are transposed + cast on the host;
+        # the jitted programs transpose back internally, where XLA picks
+        # compact layouts for intermediates.  (The reference's own device
+        # layout is NCTHW too, ref: nodes.py:182.)
+        import ml_dtypes
+
+        compute_np = (ml_dtypes.bfloat16 if cfg.compute_dtype == "bfloat16"
+                      else np.float32)
+
+        def _to_ncthw(x):
+            if isinstance(x, jax.Array):
+                return nthwc_to_ncthw(x)
+            x = np.transpose(np.asarray(x), (0, 4, 1, 2, 3))
+            return jnp.asarray(np.ascontiguousarray(x).astype(compute_np))
+
+        cond_converted = {}
+        for i, k in enumerate(cfg.condition_keys):
+            if present[i]:
+                src = k if k in data_batch else "rgb"
+                if src not in cond_converted:
+                    cond_converted[src] = _to_ncthw(data_batch[src])
+        placeholder = next(iter(cond_converted.values()))
         cond_tensors = tuple(
-            jnp.asarray(
-                data_batch[k if k in data_batch else "rgb"]
-            )
+            cond_converted[k if k in data_batch else "rgb"]
             if present[i]
-            else ref_tensor  # placeholder, ignored under static `present`
+            else placeholder  # ignored under static `present`
             for i, k in enumerate(cfg.condition_keys)
         )
 
-        b = ref_tensor.shape[0]
+        b = shape5[0]
         ctx = data_batch.get("context_index")
         ctx = (
             jnp.zeros((b,), jnp.int32)

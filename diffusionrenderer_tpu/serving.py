@@ -132,25 +132,28 @@ class ServingExecutor:
         n = len(batch)
         logger.info("serving: dispatching batch of %d (%s)", n,
                     batch[0].bucket[:2])
+        # Merge on the HOST: a device-side concat would materialize the
+        # channels-last batch eagerly, and the TPU runtime lane-pads such
+        # buffers ~42x (see pipeline._generate_inner — it uploads NCTHW).
         keys = batch[0].data_batch.keys()
         merged = {
-            k: jnp.concatenate(
-                [jnp.asarray(r.data_batch[k]) for r in batch], axis=0
+            k: np.concatenate(
+                [np.asarray(r.data_batch[k]) for r in batch], axis=0
             )
             for k in keys
             if k != "context_index"
         }
         if "context_index" in keys:
-            merged["context_index"] = jnp.concatenate(
-                [jnp.asarray(r.data_batch["context_index"]).reshape(-1)
+            merged["context_index"] = np.concatenate(
+                [np.asarray(r.data_batch["context_index"]).reshape(-1)
                  for r in batch]
             )
         # Per-request seeds: one PRNG key per batched row, so row i's noise is
         # bit-identical to dispatching request i alone with its own seed —
         # batching never changes a request's output.
         seeds = [r.seed for r in batch]
-        normal_mask = jnp.asarray(
-            [float(r.normalize_normal) for r in batch], jnp.float32
+        normal_mask = np.asarray(
+            [float(r.normalize_normal) for r in batch], np.float32
         )
         with phase_timer("serving/dispatch"):
             out = self.pipeline.generate(

@@ -22,15 +22,20 @@ def nthwc_to_ncthw(x: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 4, 1, 2, 3))
 
 
-def to_5d_video(x: np.ndarray | jax.Array) -> jax.Array:
+def to_5d_video(x: np.ndarray | jax.Array) -> np.ndarray | jax.Array:
     """Normalize 3D/4D/5D image input to (B, T, H, W, C).
 
     Mirrors the node-side input coercion (ref: nodes.py:154-179):
       (H, W, C)       -> (1, 1, H, W, C)
       (B, H, W, C)    -> (B, 1, H, W, C)
       (B, T, H, W, C) -> unchanged
+
+    Host arrays stay on the host (a full-res channels-last video must not be
+    materialized as a device buffer — the TPU runtime lane-pads the minor
+    dimension 3 -> 128; the pipeline uploads NCTHW instead).
     """
-    x = jnp.asarray(x)
+    if not isinstance(x, jax.Array):
+        x = np.asarray(x)
     if x.ndim == 3:
         return x[None, None]
     if x.ndim == 4:

@@ -12,7 +12,9 @@ dit = _init_bf16(net, jax.random.key(0), jnp.bfloat16, quant="w8a8")
 vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 pipe = DiffusionRendererPipeline(dit, vae, model_type="inverse", num_steps=15)
 pipe.decode_chunk_frames = 4
-video = jax.random.uniform(jax.random.key(2), (1, 57, 704, 1280, 3), jnp.bfloat16) * 2 - 1
+# Host video: the runtime lane-pads device channels-last buffers ~42x, so the
+# pipeline ingests host arrays and uploads NCTHW (see pipeline._generate_inner).
+video = np.random.default_rng(2).random((1, 57, 704, 1280, 3), np.float32) * 2 - 1
 batch = {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}
 t0 = time.perf_counter()
 out = pipe.generate(batch, seed=42)

@@ -29,7 +29,7 @@ net = DiTConfig()
 vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 rng = np.random.default_rng(3)
 image = rng.random((1, 1, 512, 512, 3), np.float32)
-batch = lambda: {"rgb": jnp.asarray(image) * 2 - 1,
+batch = lambda: {"rgb": image * 2 - 1,
                  "context_index": jnp.zeros((1,), jnp.int32)}
 
 outs = {}

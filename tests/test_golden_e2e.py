@@ -86,8 +86,9 @@ def run_pair(guidance=0.0, num_steps=5, seed=0):
         num_steps, guidance,
     ).numpy()
 
-    rgb_j = jnp.asarray(rgb).transpose(0, 2, 3, 4, 1)  # NTHWC
-    noise_j = jnp.asarray(noise).transpose(0, 2, 3, 4, 1) * 80.0
+    rgb_j = jnp.asarray(rgb)  # conditions enter the jit NCTHW (lane-pad-safe
+    # device boundary; _generate_jit transposes to NTHWC internally)
+    noise_j = jnp.asarray(noise).transpose(0, 2, 3, 4, 1) * 80.0  # latent: NTHWC
     got_u8 = _generate_jit(
         params,
         None,

@@ -150,7 +150,8 @@ def test_psnr_512x512_inverse_15steps(stacks):
     got_u8 = np.asarray(_generate_jit(
         dit_params,
         vae_params,
-        (jnp.asarray(rgb),),
+        # Conditions enter the jit NCTHW (lane-pad-safe device boundary).
+        (jnp.asarray(rgb).transpose(0, 4, 1, 2, 3),),
         jnp.asarray(ctx, jnp.int32),
         jax.random.PRNGKey(0),  # unused: x_init override below
         jnp.asarray(0.0, jnp.float32),

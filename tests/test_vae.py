@@ -71,6 +71,18 @@ class TestHaar:
 
 
 class TestShapes:
+    @pytest.mark.parametrize("t", [1, 9])
+    def test_encode_ncdhw_input_matches(self, tiny_params, t):
+        """vae_encode(in_layout='NCDHW') — the lane-pad-safe device boundary
+        for full-res video — is numerically identical to channels-last."""
+        x = jax.random.normal(jax.random.key(11), (2, t, 32, 32, 3))
+        ref = np.asarray(vae_encode(tiny_params, x, TINY))
+        got = np.asarray(vae_encode(
+            tiny_params, jnp.transpose(x, (0, 4, 1, 2, 3)), TINY,
+            in_layout="NCDHW",
+        ))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
     @pytest.mark.parametrize(
         "t,h,w", [(1, 32, 32), (9, 32, 64), (57, 64, 32)]
     )
