@@ -214,6 +214,34 @@ def _cross_attention_block(
     return x + gate[:, None, :] * o
 
 
+def make_block_apply(
+    cfg: DiTConfig,
+    attn_backend="auto",
+    mlp_token_chunks: int = 1,
+):
+    """One FA-CA-MLP block as a pure function of explicit inputs.
+
+    apply(bp, x, emb, lora, context, cos, sin) -> x'
+
+    No tracers are closed over (cfg / backend / chunking are static), so the
+    returned callable is safe to use inside `shard_map` bodies — this is the
+    unit the pipeline-parallel executor (parallel/pipeline_parallel.py)
+    schedules per stage.
+    """
+
+    def apply(bp, x, emb, lora, context, cos, sin):
+        y = _self_attention_block(
+            x, emb, lora, bp["fa"], (cos, sin), cfg.num_heads, attn_backend
+        )
+        y = _cross_attention_block(
+            y, emb, lora, bp["ca"], context, cfg.num_heads
+        )
+        return _mlp_block(y, emb, lora, bp["mlp"],
+                          token_chunks=mlp_token_chunks)
+
+    return apply
+
+
 def _mlp_block(x, emb, lora, bp, token_chunks: int = 1):
     (_, _, gate), xm = _adaln(x, emb, lora, bp)
 
@@ -254,6 +282,7 @@ def dit_forward(
     seq_sharding_constraint=None,
     mesh=None,
     mlp_token_chunks: int = 1,
+    block_executor=None,
 ) -> jax.Array:
     """One denoiser evaluation F(x; sigma, condition).
 
@@ -350,22 +379,24 @@ def dit_forward(
                 # than XLA's partitioned einsum attention.
                 attn_backend = "xla"
 
-    # 6. Scan over the stacked FA-CA-MLP blocks.
-    def block_fn(carry, bp):
-        y = _self_attention_block(
-            carry, affline_emb, lora, bp["fa"], cos_sin, cfg.num_heads,
-            attn_backend,
+    # 6. Scan over the stacked FA-CA-MLP blocks (or hand the stacked blocks
+    # to a pluggable executor — the pipeline-parallel scheduler plugs in
+    # here, see parallel/pipeline_parallel.py).
+    apply_block = make_block_apply(cfg, attn_backend, mlp_token_chunks)
+    if block_executor is not None:
+        cos, sin = cos_sin
+        tokens = block_executor(
+            params["blocks"], tokens, affline_emb, lora, context, cos, sin,
+            apply_block,
         )
-        y = _cross_attention_block(
-            y, affline_emb, lora, bp["ca"], context, cfg.num_heads
-        )
-        y = _mlp_block(y, affline_emb, lora, bp["mlp"],
-                       token_chunks=mlp_token_chunks)
-        if seq_sharding_constraint is not None:
-            y = seq_sharding_constraint(y)
-        return y, None
+    else:
+        def block_fn(carry, bp):
+            y = apply_block(bp, carry, affline_emb, lora, context, *cos_sin)
+            if seq_sharding_constraint is not None:
+                y = seq_sharding_constraint(y)
+            return y, None
 
-    tokens, _ = jax.lax.scan(block_fn, tokens, params["blocks"])
+        tokens, _ = jax.lax.scan(block_fn, tokens, params["blocks"])
 
     # 7. Final layer: 2-chunk AdaLN using the first 2D slice of the shared
     # lora vector (ref: CleanGeneralDIT.py:567-590).

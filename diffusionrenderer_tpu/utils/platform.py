@@ -27,7 +27,10 @@ def is_axon() -> bool:
     try:
         dev = jax.devices()[0]
         version = getattr(dev.client, "platform_version", "")
-        return version.lower().startswith("axon")
+        # The tunnel has reported itself as 'axon <ver>' and as a multi-line
+        # 'PJRT C API\naxon <ver>; ...' string across runtime updates; match
+        # the token anywhere.
+        return "axon" in version.lower()
     except Exception:
         return False
 

@@ -292,8 +292,10 @@ class TestLatentConditionsAgainstReference:
             height=32, width=48, num_frames=2, net=cfg,
             compute_dtype="float32",
         )
+        # cond_tensors arrive channels-FIRST at the pipeline boundary
+        # (lane-pad-safe device layout; _prepare_latent_conditions docstring).
         got = _prepare_latent_conditions(
-            None, None, (ncthw_to_nthwc(jnp.asarray(rgb)),), (True,), rcfg,
+            None, None, (jnp.asarray(rgb),), (True,), rcfg,
             identity_vae=True,
         )
         np.testing.assert_allclose(
@@ -335,8 +337,8 @@ class TestLatentConditionsAgainstReference:
         )
         present = tuple(k in gb for k in rcfg.condition_keys)
         cond_tensors = tuple(
-            ncthw_to_nthwc(jnp.asarray(gb[k])) if k in gb
-            else ncthw_to_nthwc(jnp.asarray(gb["depth"]))  # ignored
+            jnp.asarray(gb[k]) if k in gb
+            else jnp.asarray(gb["depth"])  # ignored; NCTHW boundary layout
             for k in rcfg.condition_keys
         )
         got = _prepare_latent_conditions(
