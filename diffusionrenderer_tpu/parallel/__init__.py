@@ -1,4 +1,10 @@
 from .flash_sp import make_sp_attention
+from .pipeline_parallel import (
+    AXIS_PIPE,
+    make_pp_executor,
+    make_pp_mesh,
+    pp_block_shardings,
+)
 from .sharding import (
     AXIS_DATA,
     AXIS_SEQ,

@@ -57,6 +57,7 @@ def edm_loss(
     p_std: float = 1.2,
     condition_drop_rate: float = 0.0,
     seq_sharding_constraint=None,
+    block_executor=None,
 ) -> jax.Array:
     """x0: (B, T, H, W, C) clean latents (already sigma_data-scaled)."""
     b = x0.shape[0]
@@ -90,6 +91,7 @@ def edm_loss(
         context_index,
         cfg,
         seq_sharding_constraint=seq_sharding_constraint,
+        block_executor=block_executor,
     ).astype(jnp.float32)
 
     denoised = c_skip * x_t + c_out * f
@@ -104,12 +106,18 @@ def make_train_step(
     condition_drop_rate: float = 0.0,
     seq_sharding_constraint=None,
     donate: bool = True,
+    block_executor=None,
 ):
     """Build the jitted train step: (state, batch, key) -> (state, loss).
 
     batch: dict with 'latents' (B,T,H,W,C), 'latent_condition', and
     'context_index'.  Under a mesh, params/opt_state carry their shardings and
     XLA emits the TP/SP/DP collectives.
+
+    block_executor: optional pipeline-parallel scheduler from
+    parallel.pipeline_parallel.make_pp_executor — the GPipe scan is
+    differentiable, so the same executor serves training; pass remat=True
+    there to keep per-stage activation memory at one microbatch.
     """
 
     def step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
@@ -124,6 +132,7 @@ def make_train_step(
                 sigma_data=sigma_data,
                 condition_drop_rate=condition_drop_rate,
                 seq_sharding_constraint=seq_sharding_constraint,
+                block_executor=block_executor,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
