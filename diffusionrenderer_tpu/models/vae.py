@@ -37,9 +37,13 @@ stay single frames.  Supported pixel frame counts: T == 1 or
 (T-1) % patch_size == 0 (the reference only ever feeds T = 8k+1 or 1).
 
 The conv stack runs under XLA's native conv lowering (which maps 3D convs
-onto the MXU); the Haar transform is a conv so XLA keeps pixel-space tensors
-in large-minor-dim layouts (an 8-D butterfly reshape at 57x704x1280
-materializes a 20 GB tile-padded intermediate).
+onto the MXU).  The Haar ANALYSIS is a separable stride-2-slice butterfly
+(see _haar_level): both the conv formulation (8.06 GiB peak — XLA pads the
+C_in=3 operand) and an 8-D reshape butterfly (20 GB — (..., 2, C) minor
+dims tile-pad) are memory-catastrophic at 57x704x1280; stride-2 slices keep
+every intermediate's minor dimension large.  The SYNTHESIS stays a
+conv_transpose: its operand is the 8C-wide latent-side tensor (compact) and
+its channels-first output option avoids the padded pixel buffer.
 """
 
 from __future__ import annotations
@@ -90,34 +94,105 @@ def _haar_level(x: jax.Array, in_layout: str = "NDHWC",
 
     (B, T, H, W, C) -> (B, T/2, H/2, W/2, 8C) (layouts per in/out_layout).
 
-    The NCDHW options exist because a tiled (..., W, C) buffer lane-pads
-    C -> 128; with pixel-space C=3 that is 42x the nominal bytes (see
-    _haar_level_inverse) — channels-first keeps (H, W) minor instead."""
-    c = x.shape[1] if in_layout == "NCDHW" else x.shape[-1]
-    kernel = jnp.asarray(_haar_kernel_np(c), x.dtype)
-    return jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(2, 2, 2), padding="VALID",
-        dimension_numbers=(in_layout, "DHWIO", out_layout),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    Computed as a separable sum/diff butterfly over stride-2 slices, NOT a
+    convolution: XLA:TPU canonicalizes a C_in=3 conv at 57f x 704x1280 into
+    a lane-padded form whose buffer assignment peaks at 8.06 GiB (measured
+    via compiled memory_analysis; either layout) — on a 16 GB chip that
+    cannot coexist with the 7.3 GiB int8 DiT weights.  Every slice here
+    keeps a large minor dimension (W/2 >= 320 at flagship), so the whole
+    level fits in ~1.5 GiB of fused elementwise temporaries.
+
+    Subband order matches _haar_kernel_np: s = (t_high<<2)|(h_high<<1)|
+    w_high, output channel s*C + c_in, overall scale 1/8 (DC gain 1).
+    Combines run fp32 (the conv accumulated fp32), cast back to x.dtype."""
+    if in_layout == "NCDHW":
+        ax_t, ax_h, ax_w, ax_c = 2, 3, 4, 1
+    else:
+        ax_t, ax_h, ax_w, ax_c = 1, 2, 3, 4
+
+    def halves(u, axis):
+        i0 = tuple(
+            slice(0, None, 2) if a == axis else slice(None)
+            for a in range(u.ndim)
+        )
+        i1 = tuple(
+            slice(1, None, 2) if a == axis else slice(None)
+            for a in range(u.ndim)
+        )
+        u0, u1 = u[i0], u[i1]
+        return u0 + u1, u0 - u1  # (low, high)
+
+    xw = x.astype(jnp.float32)
+    lw, hw = halves(xw, ax_w)
+    subs_hw = []
+    for uw in (lw, hw):
+        lh, hh = halves(uw, ax_h)
+        subs_hw.append((lh, hh))
+    # subbands[s]: bits (t, h, w)
+    subbands = [None] * 8
+    for w_bit in range(2):
+        for h_bit in range(2):
+            u = subs_hw[w_bit][h_bit]
+            lt, ht = halves(u, ax_t)
+            subbands[(0 << 2) | (h_bit << 1) | w_bit] = lt
+            subbands[(1 << 2) | (h_bit << 1) | w_bit] = ht
+    out = jnp.concatenate(subbands, axis=ax_c) * 0.125
+    out = out.astype(x.dtype)
+    if in_layout == "NCDHW" and out_layout == "NDHWC":
+        return jnp.transpose(out, (0, 2, 3, 4, 1))
+    if in_layout == "NDHWC" and out_layout == "NCDHW":
+        return jnp.transpose(out, (0, 4, 1, 2, 3))
+    return out
 
 
-def _haar_level_inverse(x: jax.Array, out_layout: str = "NDHWC") -> jax.Array:
+def _interleave2(a: jax.Array, b: jax.Array, axis: int) -> jax.Array:
+    """out[..., 2i, ...] = a[..., i, ...]; out[..., 2i+1, ...] = b[..., i, ...]
+    along `axis`, via interior padding + add — no scatter, no (..., n, 2)
+    small-minor reshape (which would tile-pad 2 -> 128 lanes when the pair
+    axis lands minor)."""
+    zero = jnp.zeros((), a.dtype)
+    cfg_a = [(0, 0, 0)] * a.ndim
+    cfg_a[axis] = (0, 1, 1)  # even slots, one trailing zero
+    cfg_b = [(0, 0, 0)] * b.ndim
+    cfg_b[axis] = (1, 0, 1)  # odd slots, one leading zero
+    return jax.lax.pad(a, zero, cfg_a) + jax.lax.pad(b, zero, cfg_b)
+
+
+def _haar_level_inverse(x: jax.Array, out_layout: str = "NDHWC",
+                        in_layout: str = "NDHWC") -> jax.Array:
     """Inverse of _haar_level: (B, T2, H2, W2, 8C) -> (B, 2*T2, 2*H2, 2*W2, C)
-    (or NCDHW).  Analysis A = O/sqrt8 with O orthonormal, so synthesis is
-    A^T * 8 — a stride-2 transposed convolution scaled by 8.
+    (or NCDHW per in/out_layout).  Analysis A = O/sqrt8 with O orthonormal,
+    so synthesis is A^T * 8; with the forward's per-axis (sum, diff) pairs
+    that is exactly x0 = a + d, x1 = a - d per axis, no scale.
 
-    The NCDHW output option exists because a tiled (..., W, 3) buffer
-    lane-pads 3->128 (42x) — at 57f x 704x1280 that is a ~6.5 GB
-    intermediate; putting (H, W) minor instead tiles perfectly."""
-    c = x.shape[-1] // 8
-    kernel = jnp.asarray(_haar_kernel_np(c), x.dtype)
-    out = jax.lax.conv_transpose(
-        x, kernel, strides=(2, 2, 2), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", out_layout),
-        transpose_kernel=True,
-    )
-    return (out * 8.0).astype(x.dtype)
+    Computed as a separable butterfly in channels-first (the mirror of
+    _haar_level): the conv_transpose formulation peaks at multi-GiB
+    assignments at flagship scale (XLA pads the C_out=3 result and its
+    C=24 channels-last operand), and a pixel-space channels-last output
+    lane-pads 3 -> 128 (42x, ~6.5 GB at 57f x 704x1280).  Every buffer here
+    is channels-first with (H, W) minor; interleaving is interior-pad + add
+    (_interleave2).  Combines run fp32, cast back at the end."""
+    if in_layout == "NDHWC":
+        x = jnp.transpose(x, (0, 4, 1, 2, 3))
+    c = x.shape[1] // 8
+    ax_t, ax_h, ax_w = 2, 3, 4
+    # Subband s at channel block s*C..(s+1)*C, bits s = (t<<2)|(h<<1)|w.
+    subs = {
+        s: x[:, s * c : (s + 1) * c].astype(jnp.float32) for s in range(8)
+    }
+    # Undo axes in reverse of the forward (w, h, t): t first, then h, then w.
+    for bit, axis in ((4, ax_t), (2, ax_h), (1, ax_w)):
+        nxt = {}
+        for s in subs:
+            if s & bit:
+                continue
+            a, d = subs[s], subs[s | bit]
+            nxt[s] = _interleave2(a + d, a - d, axis)
+        subs = nxt
+    out = subs[0].astype(x.dtype)  # (B, C, 2T2, 2H2, 2W2)
+    if out_layout == "NDHWC":
+        return jnp.transpose(out, (0, 2, 3, 4, 1))
+    return out
 
 
 def _check_frames(t: int, patch: int) -> None:
@@ -163,8 +238,12 @@ def haar_unpatch(
     p = 2**levels
     _check_frames(orig_t, p)
     for lvl in reversed(range(levels)):
+        # Channels-first between levels (shrinking channel counts 24, 192
+        # would lane-pad channels-last); only the entry tensor is NDHWC.
         x = _haar_level_inverse(
-            x, out_layout=out_layout if lvl == 0 else "NDHWC"
+            x,
+            in_layout="NDHWC" if lvl == levels - 1 else "NCDHW",
+            out_layout=out_layout if lvl == 0 else "NCDHW",
         )
     return x[:, :, p - 1:] if out_layout == "NCDHW" else x[:, p - 1:]
 

@@ -676,18 +676,21 @@ class DiffusionRendererPipeline:
 
             if "RESOURCE_EXHAUSTED" not in str(e) or not is_axon():
                 raise
-            import gc
-            import time as _time
+        # Retry OUTSIDE the except block: the exception's traceback pins the
+        # failed attempt's frames — and every device buffer they reference
+        # (condition uploads, latents) — which would defeat the drain.
+        import gc
+        import time as _time
 
-            from .utils.profiling import logger
+        from .utils.profiling import logger
 
-            logger.warning(
-                "device allocator exhausted — draining deferred frees and "
-                "retrying once")
-            gc.collect()
-            _time.sleep(20.0)
-            return self._generate_inner(
-                data_batch, normalize_normal, seed, noise_tile, staged)
+        logger.warning(
+            "device allocator exhausted — draining deferred frees and "
+            "retrying once")
+        gc.collect()
+        _time.sleep(20.0)
+        return self._generate_inner(
+            data_batch, normalize_normal, seed, noise_tile, staged)
 
     def _generate_inner(
         self,

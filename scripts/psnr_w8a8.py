@@ -19,7 +19,9 @@ import time
 import jax, jax.numpy as jnp, numpy as np
 from diffusionrenderer_tpu.config import DiTConfig, VAEConfig
 from diffusionrenderer_tpu.models.dit import init_dit_params
-from diffusionrenderer_tpu.models.quant import quantize_dit_params
+from diffusionrenderer_tpu.models.quant import (
+    QUANTIZED_BLOCK_WEIGHTS, quantize_tensor_host,
+)
 from diffusionrenderer_tpu.models.vae import init_vae_params
 from diffusionrenderer_tpu.pipeline import DiffusionRendererPipeline
 from diffusionrenderer_tpu.utils.metrics import psnr
@@ -32,11 +34,36 @@ image = rng.random((1, 1, 512, 512, 3), np.float32)
 batch = lambda: {"rgb": image * 2 - 1,
                  "context_index": jnp.zeros((1,), jnp.int32)}
 
+# Init the 7B weights ON HOST (CPU backend): quantizing on device would hold
+# bf16 (13.5 GiB) + int8 (6.7 GiB) simultaneously — over the ~14.5 GiB HBM.
+cpu = jax.devices("cpu")[0]
+with jax.default_device(cpu):
+    host_params = init_dit_params(jax.random.key(0), net, dtype=jnp.bfloat16)
+host_params = jax.tree.map(np.asarray, host_params)
+print("host init done", flush=True)
+
+
+def _quantize_host(params):
+    out = dict(params)
+    blocks = {}
+    for sub, names in QUANTIZED_BLOCK_WEIGHTS.items():
+        bp = {k: jnp.asarray(v) for k, v in params["blocks"][sub].items()
+              if k not in names}
+        for name in names:
+            bp[name] = quantize_tensor_host(params["blocks"][sub][name],
+                                            act_quant=True)
+        blocks[sub] = bp
+    out["blocks"] = blocks
+    return {k: (v if k == "blocks" else jax.tree.map(jnp.asarray, v))
+            for k, v in out.items()}
+
+
 outs = {}
 for mode in ("bf16", "w8a8"):
-    params = init_dit_params(jax.random.key(0), net, dtype=jnp.bfloat16)
     if mode == "w8a8":
-        params = quantize_dit_params(params, act_quant=True)
+        params = _quantize_host(host_params)
+    else:
+        params = jax.tree.map(jnp.asarray, host_params)
     pipe = DiffusionRendererPipeline(params, vae, model_type="inverse",
                                      num_steps=15)
     t0 = time.perf_counter()
