@@ -140,26 +140,33 @@ def inverse_render(
     outputs: Dict[str, np.ndarray] = {}
 
     if batch_passes and len(passes) > 1:
+        # One upload + ONE VAE encode for all n pass rows: the latent is
+        # replicated on device (generate(batch_tile=n)); the reference
+        # re-encodes the same video every pass (nodes.py:187-213).
         n = len(passes)
-        video_n = np.tile(video, (n, 1, 1, 1, 1))
+        vid_dev = pipeline.prepare_pixel_input(video)
         ctx = np.repeat(np.asarray(indices, np.int32), b)
         normal_mask = np.repeat(
             np.asarray([float(p == "normal") for p in passes]), b
         )
         out = pipeline.generate(
-            {"rgb": video_n, "video": video_n, "context_index": ctx},
+            {"rgb": vid_dev, "video": vid_dev, "context_index": ctx},
             normalize_normal=normal_mask,
             seed=seed,
             noise_tile=n,
+            batch_tile=n,
         )
         for i, p in enumerate(passes):
             chunk = out[i * b : (i + 1) * b].astype(np.float32) / 255.0
             outputs[p] = chunk.reshape(b * t, h, w, c)
     else:
+        # One upload, 5 passes: the serial loop reads the same video per
+        # pass (ref loops it too, nodes.py:187-213).
+        vid_dev = pipeline.prepare_pixel_input(video)
         for p in passes:
             ctx = jnp.full((b,), GBUFFER_INDEX_MAPPING[p], jnp.int32)
             out = pipeline.generate(
-                {"rgb": video, "video": video, "context_index": ctx},
+                {"rgb": vid_dev, "video": vid_dev, "context_index": ctx},
                 normalize_normal=(p == "normal"),
                 seed=seed,
             )

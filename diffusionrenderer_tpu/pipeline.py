@@ -25,7 +25,7 @@ Data layout: all video tensors are channels-last (B, T, H, W, C), values in
 from __future__ import annotations
 
 import functools
-from typing import Any, Mapping, Optional, Tuple
+from typing import Any, Mapping, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,21 @@ SHAPE_INFERENCE_KEYS = (
 )
 
 
+class PixelInput(NamedTuple):
+    """A pixel video already uploaded in the lane-compact MERGED layout.
+
+    arr: (B, T, H, W*C) fp32 device buffer, values in [-1, 1];
+    shape5: the logical (B, T, H, W, C).
+
+    Built by DiffusionRendererPipeline.prepare_pixel_input; pass as a
+    data_batch value to reuse one upload across several generations (the
+    5-G-buffer inverse job reads the same video 5 times — ref loop:
+    nodes.py:187-213)."""
+
+    arr: jax.Array
+    shape5: Tuple[int, int, int, int, int]
+
+
 def _prepare_latent_conditions(
     dit_params, vae_params, cond_tensors, present, cfg: RendererConfig,
     identity_vae: bool = False,
@@ -60,20 +75,32 @@ def _prepare_latent_conditions(
     identity_vae=True treats inputs as already-latent (golden parity harness:
     isolates sampler+conditioning semantics from VAE weights).
 
-    cond_tensors arrive channels-FIRST (B, C, T, H, W): a channels-last
-    pixel buffer lane-pads 3 -> 128 (42x) in HBM, so the pipeline keeps video
-    NCTHW from the host boundary until the Haar patcher has widened channels
-    (models/vae.py haar_patch)."""
+    cond_tensors arrive either rank-5 channels-FIRST (B, C, T, H, W) or
+    rank-4 MERGED (B, T, H, W*C) — the preferred host boundary: a host
+    NTHWC fp32 video reshapes to merged for free (contiguous), the minor
+    dimension W*C is lane-compact on chip, and the NCTHW re-layout runs
+    in-jit at HBM bandwidth (~1 s at flagship vs ~100 s of single-threaded
+    host numpy transpose+cast).  A channels-last device buffer is never
+    materialized (it would lane-pad 3 -> 128, 42x)."""
+
+    def _as_ncdhw(z):
+        if z.ndim == 4:  # merged (B, T, H, W*C)
+            bb, tt, hh, wc = z.shape
+            cc = wc // cfg.width
+            z = z.reshape(bb, tt, hh, cfg.width, cc)
+            return jnp.transpose(z, (0, 4, 1, 2, 3))
+        return z  # already (B, C, T, H, W)
+
     sd = cfg.sigma_data
     pieces = []
     latent = None
     for i, key in enumerate(cfg.condition_keys):
         if present[i]:
             if identity_vae:
-                z = ncthw_to_nthwc(cond_tensors[i]) * sd
+                z = ncthw_to_nthwc(_as_ncdhw(cond_tensors[i])) * sd
             else:
-                z = vae_encode(vae_params, cond_tensors[i], cfg.vae,
-                               in_layout="NCDHW") * sd
+                z = vae_encode(vae_params, _as_ncdhw(cond_tensors[i]),
+                               cfg.vae, in_layout="NCDHW") * sd
             latent = z
             pieces.append(("z", z))
             if cfg.append_condition_mask:
@@ -247,21 +274,28 @@ def _generate_jit(
 # against the multi-second denoise scan).
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "present", "identity_vae"))
+@functools.partial(jax.jit, static_argnames=("cfg", "present", "identity_vae",
+                                             "tile"))
 def _encode_conditions_jit(vae_params, cond_tensors, *, cfg, present,
-                           identity_vae=False):
+                           identity_vae=False, tile=1):
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
-    # NCTHW at the device boundary (see _generate_inner); channels-first is
-    # preserved into the VAE's Haar patcher.
+    # Merged or NCTHW at the device boundary (see _generate_inner);
+    # channels-first is preserved into the VAE's Haar patcher.
     cond_tensors = tuple(
         x.astype(compute_dtype) if x is not None else None
         for x in cond_tensors
     )
-    return _prepare_latent_conditions(
+    latent = _prepare_latent_conditions(
         None, vae_params, cond_tensors, present, cfg,
         identity_vae=identity_vae,
     )
+    if tile > 1:
+        # Batched multi-pass job sharing one input video: encode once,
+        # replicate the (small) latent per pass row — the serial reference
+        # loop re-encodes per pass (nodes.py:187-213).
+        latent = jnp.tile(latent, (tile, 1, 1, 1, 1))
+    return latent
 
 
 @functools.partial(
@@ -436,9 +470,11 @@ def _noise_init_jit(key, sigma0, *, shape, noise_tile, dtype_str, per_row=False)
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _decode_jit(vae_params, sample, normal_mask, *, cfg):
-    """Decode + post-process in NCTHW: keeping (H, W) as the minor dims
-    avoids a 42x lane-padded (..., 3) pixel buffer at flagship resolution.
-    Returns uint8 (B, C, T, H, W); the host transposes to channels-last."""
+    """Decode + post-process in NCTHW — keeping (H, W) as the minor dims
+    avoids a 42x lane-padded (..., 3) pixel buffer at flagship resolution —
+    then emit MERGED uint8 (B, T, H, W*C): lane-compact on chip, and the
+    host gets channels-last with a free reshape instead of a ~3-minute
+    single-threaded strided transpose of the full video."""
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
     descaled = (sample / cfg.scheduler.sigma_data).astype(compute_dtype)
@@ -451,7 +487,9 @@ def _decode_jit(vae_params, sample, normal_mask, *, cfg):
     sel = normal_mask.astype(jnp.float32)[:, None, None, None, None]
     video = renormed * sel + video * (1.0 - sel)
     video01 = jnp.clip(1.0 + video, 0.0, 2.0) / 2.0
-    return (video01 * 255.0).astype(jnp.uint8)
+    u8 = (video01 * 255.0).astype(jnp.uint8)  # (B, C, T, H, W)
+    b_, c_, t_, h_, w_ = u8.shape
+    return jnp.transpose(u8, (0, 2, 3, 4, 1)).reshape(b_, t_, h_, w_ * c_)
 
 
 class DiffusionRendererPipeline:
@@ -556,6 +594,17 @@ class DiffusionRendererPipeline:
         loaded matching weights (checked at generate time)."""
         self.model_type = model_type.lower()
 
+    def prepare_pixel_input(self, video) -> PixelInput:
+        """Upload a host (B, T, H, W, C) fp32 video (values in [-1, 1]) once
+        in the lane-compact merged layout; the result can be passed as a
+        data_batch value to any number of generate() calls (the 5-G-buffer
+        inverse job reuses one upload across its 5 passes)."""
+        video = np.ascontiguousarray(np.asarray(video, np.float32))
+        b, t, h, w, c = video.shape
+        return PixelInput(
+            jnp.asarray(video.reshape(b, t, h, w * c)), (b, t, h, w, c)
+        )
+
     def _config_for(self, shape_5d: Tuple[int, ...]) -> RendererConfig:
         import dataclasses
 
@@ -626,6 +675,14 @@ class DiffusionRendererPipeline:
         frame sees >= overlap latents of history).  Frame count matches the
         unchunked decode exactly: (T_lat-1)*8+1.
         """
+        if sample.shape[0] > 1:
+            # Row-split batched decodes: chunking exists to bound decoder
+            # peak memory, which scales with the batch row count too.
+            return np.concatenate([
+                self._decode_overlapped(sample[i : i + 1], normal_mask[i : i + 1],
+                                        cfg, chunk, overlap)
+                for i in range(sample.shape[0])
+            ], axis=0)
         t_lat = sample.shape[1]
         step = chunk - overlap
         assert step >= 1, "chunk must exceed overlap"
@@ -638,14 +695,14 @@ class DiffusionRendererPipeline:
             out = np.asarray(_decode_jit(
                 self.vae_params, sample[:, start : start + length],
                 normal_mask, cfg=cfg,
-            ))  # NCTHW, (length-1)*8+1 frames
+            ))  # merged (B, T_pix, H, W*C), (length-1)*8+1 frames
             if start == 0:
                 pieces.append(out)
             else:
                 keep = 8 * (length - overlap)
-                pieces.append(out[:, :, -keep:])
+                pieces.append(out[:, -keep:])
             start += step
-        return np.concatenate(pieces, axis=2)
+        return np.concatenate(pieces, axis=1)
 
     def generate(
         self,
@@ -654,6 +711,7 @@ class DiffusionRendererPipeline:
         seed: Optional[int] = None,
         noise_tile: int = 1,
         staged: bool = True,
+        batch_tile: int = 1,
     ) -> np.ndarray:
         """Run one generation; returns uint8 (B, T, H, W, C) on host
         (ref: diffusion_renderer_pipeline.py:242-320).
@@ -662,10 +720,17 @@ class DiffusionRendererPipeline:
         three programs so each phase's buffers are freed before the next —
         required for flagship shapes on a single 16 GB chip; staged=False
         fuses everything into one program (lowest overhead at small shapes).
+
+        batch_tile=n encodes the condition video ONCE and replicates the
+        latent n-fold on device: the batched multi-pass inverse job shares
+        one input video across rows, so the per-row context_index /
+        normalize_normal / output batch is n * B while only B rows are
+        uploaded and encoded (staged path only).
         """
         try:
             return self._generate_inner(
-                data_batch, normalize_normal, seed, noise_tile, staged)
+                data_batch, normalize_normal, seed, noise_tile, staged,
+                batch_tile)
         except Exception as e:  # pragma: no cover - device-runtime specific
             # The axon tunnel reclaims device buffers asynchronously: a
             # generation dispatched right after a large one can see
@@ -690,7 +755,8 @@ class DiffusionRendererPipeline:
         gc.collect()
         _time.sleep(20.0)
         return self._generate_inner(
-            data_batch, normalize_normal, seed, noise_tile, staged)
+            data_batch, normalize_normal, seed, noise_tile, staged,
+            batch_tile)
 
     def _generate_inner(
         self,
@@ -699,6 +765,7 @@ class DiffusionRendererPipeline:
         seed: Optional[int] = None,
         noise_tile: int = 1,
         staged: bool = True,
+        batch_tile: int = 1,
     ) -> np.ndarray:
         if self.model_type is None:
             raise RuntimeError("model_type not set; call set_model_type first")
@@ -714,7 +781,9 @@ class DiffusionRendererPipeline:
             raise ValueError(
                 f"No tensor for shape inference; looked for {SHAPE_INFERENCE_KEYS}"
             )
-        shape5 = tuple(np.shape(data_batch[shape_key]))  # no device upload
+        sval = data_batch[shape_key]
+        shape5 = (tuple(sval.shape5) if isinstance(sval, PixelInput)
+                  else tuple(np.shape(sval)))  # no device upload
         cfg = self._config_for(shape5)
         logger.info(
             "generate: model_type=%s input=%s (key=%r) latent=%s steps=%d "
@@ -738,30 +807,33 @@ class DiffusionRendererPipeline:
             for k in cfg.condition_keys
         )
 
-        # Device boundary is channels-FIRST (B, C, T, H, W): this runtime
+        # Device boundary is MERGED (B, T, H, W*C) fp32: this runtime
         # tile-pads a buffer's minor (lane) dimension to 128, so a full-res
         # channels-last video would occupy ~42x its nominal bytes on chip
-        # (3 -> 128 lanes).  Host inputs are transposed + cast on the host;
-        # the jitted programs transpose back internally, where XLA picks
-        # compact layouts for intermediates.  (The reference's own device
-        # layout is NCTHW too, ref: nodes.py:182.)
-        import ml_dtypes
-
-        compute_np = (ml_dtypes.bfloat16 if cfg.compute_dtype == "bfloat16"
-                      else np.float32)
-
-        def _to_ncthw(x):
+        # (3 -> 128 lanes), while W*C = 3840 is lane-compact.  A contiguous
+        # host NTHWC video reshapes to merged for FREE; the jitted programs
+        # un-merge to channels-first at HBM bandwidth (~1 s at flagship —
+        # host numpy transpose+bf16 cast measured ~100 s single-threaded).
+        # jax.Array inputs are passed through: api callers upload once and
+        # reuse the buffer across the 5 G-buffer passes.
+        def _to_merged(x):
+            if isinstance(x, PixelInput):
+                return x.arr
             if isinstance(x, jax.Array):
-                return nthwc_to_ncthw(x)
-            x = np.transpose(np.asarray(x), (0, 4, 1, 2, 3))
-            return jnp.asarray(np.ascontiguousarray(x).astype(compute_np))
+                # Rank-5 device arrays keep the legacy NTHWC contract
+                # (small inputs only — fine to re-layout on device).
+                return nthwc_to_ncthw(x) if x.ndim == 5 else x
+            x = np.asarray(x, np.float32)
+            b_, t_, h_, w_, c_ = x.shape
+            return jnp.asarray(
+                np.ascontiguousarray(x).reshape(b_, t_, h_, w_ * c_))
 
         cond_converted = {}
         for i, k in enumerate(cfg.condition_keys):
             if present[i]:
                 src = k if k in data_batch else "rgb"
                 if src not in cond_converted:
-                    cond_converted[src] = _to_ncthw(data_batch[src])
+                    cond_converted[src] = _to_merged(data_batch[src])
         placeholder = next(iter(cond_converted.values()))
         cond_tensors = tuple(
             cond_converted[k if k in data_batch else "rgb"]
@@ -770,7 +842,12 @@ class DiffusionRendererPipeline:
             for i, k in enumerate(cfg.condition_keys)
         )
 
-        b = shape5[0]
+        # batch_tile replicates the encoded latent on device: context /
+        # masks / outputs run at b rows while only b/batch_tile rows were
+        # uploaded+encoded.
+        if batch_tile > 1 and not staged:
+            raise ValueError("batch_tile > 1 requires the staged path")
+        b = shape5[0] * batch_tile
         ctx = data_batch.get("context_index")
         ctx = (
             jnp.zeros((b,), jnp.int32)
@@ -812,7 +889,8 @@ class DiffusionRendererPipeline:
             if staged:
                 with phase_timer("generate/encode_conditions"):
                     latent_condition = _encode_conditions_jit(
-                        self.vae_params, cond_tensors, cfg=cfg, present=present
+                        self.vae_params, cond_tensors, cfg=cfg,
+                        present=present, tile=batch_tile,
                     )
                 with phase_timer("generate/denoise"):
                     sigmas = np.asarray(edm_sigmas(
@@ -863,8 +941,10 @@ class DiffusionRendererPipeline:
                         video_u8 = np.asarray(_decode_jit(
                             self.vae_params, sample, normal_mask, cfg=cfg
                         ))
-                # NCTHW -> NTHWC on host (cheap on uint8).
-                return np.asarray(video_u8).transpose(0, 2, 3, 4, 1)
+                # Merged (B, T, H, W*C) -> NTHWC is a free host reshape.
+                b_, t_, h_, _ = video_u8.shape
+                return np.asarray(video_u8).reshape(
+                    b_, t_, h_, cfg.width, -1)
             else:
                 x_init_override = None
                 if per_row_seeds:
