@@ -21,6 +21,7 @@ Shape ladder (largest that fits the chip wins):
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -45,7 +46,17 @@ def _init_bf16(cfg, key, dtype, quant=None):
     weights ~fill HBM; usable ceiling measured at ~14.5 GiB on this v5e).
     quant='w8'/'w8a8' builds the int8 representation directly (production
     checkpoints are quantized host-side during conversion); 'w8a8' marks the
-    leaves for runtime int8 activation quantization (models/quant.py)."""
+    leaves for runtime int8 activation quantization (models/quant.py).
+
+    The whole pytree is built inside ONE jit: the axon tunnel pays a remote
+    compile round-trip per distinct-shape eager op (~50 leaves were ~8 min
+    of init wall-clock; one fused program is seconds)."""
+    return jax.jit(
+        functools.partial(_init_bf16_build, cfg, dtype=dtype, quant=quant)
+    )(key)
+
+
+def _init_bf16_build(cfg, key, dtype, quant=None):
     d, dh, r = cfg.model_channels, cfg.head_dim, cfg.adaln_lora_dim
     hid, ctx, nb = cfg.hidden_dim, cfg.crossattn_emb_channels, cfg.num_blocks
     keys = iter(jax.random.split(key, 64))
