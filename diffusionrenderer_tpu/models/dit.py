@@ -25,6 +25,7 @@ Block sub-structure (FA -> CA -> MLP, ref: CleanGeneralDIT.py:519-545):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -53,8 +54,21 @@ def init_dit_params(
     """Random-normal init with the checkpoint's exact tensor shapes.
 
     Production weights come from the converted Cosmos checkpoint
-    (checkpoint.py); this init exists for tests and benchmarks.
-    """
+    (checkpoint.py); this init exists for tests and benchmarks.  Built
+    inside ONE jit: remote runtimes (axon tunnel) pay a compile round-trip
+    per distinct-shape eager op."""
+    build = functools.partial(
+        _init_dit_params_build, cfg=cfg, dtype=dtype, scale=scale
+    )
+    return jax.jit(build)(key)
+
+
+def _init_dit_params_build(
+    key: jax.Array,
+    cfg: DiTConfig,
+    dtype: jnp.dtype = jnp.bfloat16,
+    scale: float = 0.02,
+) -> Params:
     d = cfg.model_channels
     dh = cfg.head_dim
     r = cfg.adaln_lora_dim

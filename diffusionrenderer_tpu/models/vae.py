@@ -483,6 +483,16 @@ def _up_p(key, c, dtype):
 def init_vae_params(
     key: jax.Array, cfg: VAEConfig, dtype: jnp.dtype = jnp.bfloat16
 ) -> Params:
+    """Random-init the full VAE pytree, built inside ONE jit — remote
+    runtimes (the axon tunnel) pay a compile round-trip per distinct-shape
+    eager op, and this tree has ~hundreds of leaves."""
+    build = functools.partial(_init_vae_params_build, cfg=cfg, dtype=dtype)
+    return jax.jit(build)(key)
+
+
+def _init_vae_params_build(
+    key: jax.Array, cfg: VAEConfig, dtype: jnp.dtype = jnp.bfloat16
+) -> Params:
     levels = int(math.log2(cfg.patch_size))
     patched_ch = cfg.in_channels * 8**levels
     enc_ch = cfg.encoder_block_out_channels
