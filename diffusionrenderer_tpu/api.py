@@ -132,8 +132,12 @@ def inverse_render(
     # All full-res math stays on the host: the pipeline uploads conditions
     # NCTHW (lane-pad-safe); an eager device NTHWC video would occupy ~42x
     # its nominal bytes (see pipeline._generate_inner).
-    video = to_5d_video(np.asarray(image, np.float32))
-    video = np.asarray(video) * 2.0 - 1.0  # [0,1] -> [-1,1] (ref: nodes.py:183)
+    from .utils.hostops import to_float32, to_signed_range
+
+    video = to_5d_video(to_float32(image))
+    # [0,1] -> [-1,1] (ref: nodes.py:183); torch-backed — this host's numpy
+    # runs elementwise kernels ~100x slower (utils/hostops.py).
+    video = to_signed_range(np.asarray(video))
     b, t, h, w, c = video.shape
 
     indices = [GBUFFER_INDEX_MAPPING[p] for p in passes]
@@ -156,21 +160,30 @@ def inverse_render(
             noise_tile=n,
             batch_tile=n,
         )
+        from .utils.hostops import u8_to_unit_float
+
+        unit = u8_to_unit_float(out)
         for i, p in enumerate(passes):
-            chunk = out[i * b : (i + 1) * b].astype(np.float32) / 255.0
-            outputs[p] = chunk.reshape(b * t, h, w, c)
+            outputs[p] = unit[i * b : (i + 1) * b].reshape(b * t, h, w, c)
     else:
         # One upload, 5 passes: the serial loop reads the same video per
         # pass (ref loops it too, nodes.py:187-213).
-        vid_dev = pipeline.prepare_pixel_input(video)
+        from .utils.profiling import phase_timer
+
+        with phase_timer("api/upload_input"):
+            vid_dev = pipeline.prepare_pixel_input(video)
         for p in passes:
             ctx = jnp.full((b,), GBUFFER_INDEX_MAPPING[p], jnp.int32)
-            out = pipeline.generate(
-                {"rgb": vid_dev, "video": vid_dev, "context_index": ctx},
-                normalize_normal=(p == "normal"),
-                seed=seed,
-            )
-            outputs[p] = (out.astype(np.float32) / 255.0).reshape(b * t, h, w, c)
+            with phase_timer("api/generate_pass"):
+                out = pipeline.generate(
+                    {"rgb": vid_dev, "video": vid_dev, "context_index": ctx},
+                    normalize_normal=(p == "normal"),
+                    seed=seed,
+                )
+            with phase_timer("api/convert_output"):
+                from .utils.hostops import u8_to_unit_float
+
+                outputs[p] = u8_to_unit_float(out).reshape(b * t, h, w, c)
     return outputs
 
 
@@ -210,11 +223,13 @@ def forward_render(
     }
     # Host-side prep throughout: the pipeline uploads conditions NCTHW
     # (lane-pad-safe); eager device NTHWC videos would be ~42x padded.
+    from .utils.hostops import to_float32, to_signed_range, u8_to_unit_float
+
     data_batch: Dict[str, Any] = {}
     shape = None
     for name, g in gbuffers.items():
-        g5 = np.asarray(to_5d_video(np.asarray(g, np.float32)))
-        data_batch[name] = g5 * 2.0 - 1.0  # (ref: nodes.py:278)
+        g5 = np.asarray(to_5d_video(to_float32(g)))
+        data_batch[name] = to_signed_range(g5)  # (ref: nodes.py:278)
         shape = g5.shape
     b, t, h, w, _ = shape
     data_batch["video"] = data_batch["depth"]  # (ref: nodes.py:281)
@@ -239,17 +254,23 @@ def forward_render(
 
     # env_ldr/env_log map to [-1,1]; env_nrm is the raw direction field
     # (NOT rescaled) (ref: nodes.py:298-304).
-    env_ldr = np.asarray(env["env_ldr"], np.float32)[0] * 2.0 - 1.0  # (H, W, 3)
-    env_log = np.asarray(env["env_log"], np.float32)[0] * 2.0 - 1.0
+    env_ldr = to_signed_range(np.asarray(env["env_ldr"], np.float32)[0])
+    env_log = to_signed_range(np.asarray(env["env_log"], np.float32)[0])
     env_nrm = np.asarray(latlong_vec(h, w), np.float32)
 
-    bc = lambda x: np.broadcast_to(x[None, None], (b, t, h, w, 3))
+    def bc(x):  # materialize the (b, t, h, w, 3) broadcast via torch —
+        # numpy's strided copy of a broadcast view is ~100x slower here.
+        import torch
+
+        return torch.from_numpy(np.ascontiguousarray(x))[None, None].expand(
+            b, t, h, w, 3).contiguous().numpy()
+
     data_batch["env_ldr"] = bc(env_ldr)
     data_batch["env_log"] = bc(env_log)
     data_batch["env_nrm"] = bc(env_nrm)
 
     out = pipeline.generate(data_batch, seed=seed)
-    return (out.astype(np.float32) / 255.0).reshape(b * t, h, w, 3)
+    return u8_to_unit_float(out).reshape(b * t, h, w, 3)
 
 
 def load_hdr(path: str) -> np.ndarray:
