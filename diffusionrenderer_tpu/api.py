@@ -168,22 +168,28 @@ def inverse_render(
     else:
         # One upload, 5 passes: the serial loop reads the same video per
         # pass (ref loops it too, nodes.py:187-213).
+        from .utils.hostops import u8_to_unit_float
         from .utils.profiling import phase_timer
 
         with phase_timer("api/upload_input"):
             vid_dev = pipeline.prepare_pixel_input(video)
+        raw: Dict[str, Any] = {}
         for p in passes:
             ctx = jnp.full((b,), GBUFFER_INDEX_MAPPING[p], jnp.int32)
             with phase_timer("api/generate_pass"):
-                out = pipeline.generate(
+                # defer_fetch: pass p's device->host readback overlaps pass
+                # p+1's compute (dispatches are async).
+                raw[p] = pipeline.generate(
                     {"rgb": vid_dev, "video": vid_dev, "context_index": ctx},
                     normalize_normal=(p == "normal"),
                     seed=seed,
+                    defer_fetch=True,
                 )
-            with phase_timer("api/convert_output"):
-                from .utils.hostops import u8_to_unit_float
-
-                outputs[p] = u8_to_unit_float(out).reshape(b * t, h, w, c)
+        for p in passes:
+            with phase_timer("api/fetch_convert_output"):
+                outputs[p] = u8_to_unit_float(
+                    np.asarray(raw.pop(p))
+                ).reshape(b * t, h, w, c)
     return outputs
 
 

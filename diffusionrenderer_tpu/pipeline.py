@@ -712,9 +712,15 @@ class DiffusionRendererPipeline:
         noise_tile: int = 1,
         staged: bool = True,
         batch_tile: int = 1,
+        defer_fetch: bool = False,
     ) -> np.ndarray:
         """Run one generation; returns uint8 (B, T, H, W, C) on host
         (ref: diffusion_renderer_pipeline.py:242-320).
+
+        defer_fetch=True returns the MERGED uint8 (B, T, H, W*C) still on
+        device (staged unchunked decode only): callers pipelining several
+        generations fetch results after dispatching the next pass, hiding
+        the device->host readback behind compute.
 
         staged=True (default) runs condition-encode / denoise / decode as
         three programs so each phase's buffers are freed before the next —
@@ -730,7 +736,7 @@ class DiffusionRendererPipeline:
         try:
             return self._generate_inner(
                 data_batch, normalize_normal, seed, noise_tile, staged,
-                batch_tile)
+                batch_tile, defer_fetch)
         except Exception as e:  # pragma: no cover - device-runtime specific
             # The axon tunnel reclaims device buffers asynchronously: a
             # generation dispatched right after a large one can see
@@ -756,7 +762,7 @@ class DiffusionRendererPipeline:
         _time.sleep(20.0)
         return self._generate_inner(
             data_batch, normalize_normal, seed, noise_tile, staged,
-            batch_tile)
+            batch_tile, defer_fetch)
 
     def _generate_inner(
         self,
@@ -766,6 +772,7 @@ class DiffusionRendererPipeline:
         noise_tile: int = 1,
         staged: bool = True,
         batch_tile: int = 1,
+        defer_fetch: bool = False,
     ) -> np.ndarray:
         if self.model_type is None:
             raise RuntimeError("model_type not set; call set_model_type first")
@@ -933,6 +940,14 @@ class DiffusionRendererPipeline:
                 del latent_condition
                 with phase_timer("generate/decode"):
                     ck = self.decode_chunk_frames
+                    if defer_fetch:
+                        # Leave the merged uint8 on device: the caller
+                        # fetches later, overlapping this pass's readback
+                        # with the next pass's compute (api.inverse_render
+                        # serial loop).  Requires the unchunked decode.
+                        return _decode_jit(
+                            self.vae_params, sample, normal_mask, cfg=cfg
+                        )
                     if ck and sample.shape[1] > ck:
                         video_u8 = self._decode_overlapped(
                             sample, normal_mask, cfg, ck

@@ -11,8 +11,17 @@ nodes.py:154-186.)
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import torch
+
+# Non-writable inputs (e.g. broadcast views) are safe here: every function's
+# first torch op copies (dtype-changing .to / out-of-place mul) before any
+# in-place op runs — suppress torch's blanket warning.
+warnings.filterwarnings(
+    "ignore", message="The given NumPy array is not writable"
+)
 
 
 def u8_to_unit_float(arr: np.ndarray) -> np.ndarray:
