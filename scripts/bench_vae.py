@@ -25,14 +25,17 @@ vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 enc = jax.jit(functools.partial(vae_encode, cfg=vcfg, in_layout="NCDHW"))
 dec = jax.jit(functools.partial(vae_decode, cfg=vcfg, out_layout="NCDHW"))
 
-rng = np.random.default_rng(5)
+@jax.jit
+def _mkvid_dev(key):
+    # Smooth synthetic video built ON DEVICE (host numpy repeat of 616 MB
+    # is minutes on this host): low-res noise nearest-upsampled 32x.
+    base = jax.random.uniform(key, (1, 3, FRAMES, 22, 40)) * 2 - 1
+    up = jnp.repeat(jnp.repeat(base, 32, 3), 32, 4)
+    return up.astype(jnp.bfloat16)
 
 
 def mkvid(seed):
-    r = np.random.default_rng(seed)
-    base = r.random((1, 3, 1, 22, 40), np.float32) * 2 - 1
-    up = np.repeat(np.repeat(np.repeat(base, FRAMES, 2), 32, 3), 32, 4)
-    return jnp.asarray(up.astype(np.float32), jnp.bfloat16)
+    return _mkvid_dev(jax.random.key(seed))
 
 
 # Warm-up / compile
