@@ -264,12 +264,13 @@ def forward_render(
     env_log = to_signed_range(np.asarray(env["env_log"], np.float32)[0])
     env_nrm = np.asarray(latlong_vec(h, w), np.float32)
 
-    def bc(x):  # materialize the (b, t, h, w, 3) broadcast via torch —
-        # numpy's strided copy of a broadcast view is ~100x slower here.
-        import torch
-
-        return torch.from_numpy(np.ascontiguousarray(x))[None, None].expand(
-            b, t, h, w, 3).contiguous().numpy()
+    # Single-frame (B, 1, H, W, 3): the env projections are constant per
+    # frame, so the time broadcast happens ON DEVICE inside the condition
+    # encode (pipeline._prepare_latent_conditions) — the reference expands
+    # on the host (nodes.py:298-304), which here would cost 3 extra full-res
+    # uploads (~1.9 GiB) that tipped the flagship forward job over HBM.
+    def bc(x):
+        return np.broadcast_to(x[None, None], (b, 1, h, w, 3))
 
     data_batch["env_ldr"] = bc(env_ldr)
     data_batch["env_log"] = bc(env_log)

@@ -88,8 +88,16 @@ def _prepare_latent_conditions(
             bb, tt, hh, wc = z.shape
             cc = wc // cfg.width
             z = z.reshape(bb, tt, hh, cfg.width, cc)
-            return jnp.transpose(z, (0, 4, 1, 2, 3))
-        return z  # already (B, C, T, H, W)
+            z = jnp.transpose(z, (0, 4, 1, 2, 3))
+        if z.shape[2] == 1 and cfg.num_frames > 1:
+            # Time-constant condition (the env projections are static per
+            # frame): caller uploads ONE frame, the broadcast happens here
+            # on device — 3 fewer full-res uploads than the reference's
+            # host-side expand (ref: nodes.py:298-304).
+            z = jnp.broadcast_to(
+                z, (z.shape[0], z.shape[1], cfg.num_frames, *z.shape[3:])
+            )
+        return z  # (B, C, T, H, W)
 
     sd = cfg.sigma_data
     pieces = []
