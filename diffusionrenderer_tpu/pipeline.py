@@ -741,36 +741,38 @@ class DiffusionRendererPipeline:
         normalize_normal / output batch is n * B while only B rows are
         uploaded and encoded (staged path only).
         """
-        try:
-            return self._generate_inner(
-                data_batch, normalize_normal, seed, noise_tile, staged,
-                batch_tile, defer_fetch)
-        except Exception as e:  # pragma: no cover - device-runtime specific
-            # The axon tunnel reclaims device buffers asynchronously: a
-            # generation dispatched right after a large one can see
-            # RESOURCE_EXHAUSTED even though the memory is already logically
-            # free.  Drain and retry once — axon only; real TPU runtimes
-            # free synchronously, so there a genuine OOM surfaces untouched.
-            from .utils.platform import is_axon
-
-            if "RESOURCE_EXHAUSTED" not in str(e) or not is_axon():
-                raise
-        # Retry OUTSIDE the except block: the exception's traceback pins the
-        # failed attempt's frames — and every device buffer they reference
-        # (condition uploads, latents) — which would defeat the drain.
         import gc
         import time as _time
 
         from .utils.profiling import logger
 
-        logger.warning(
-            "device allocator exhausted — draining deferred frees and "
-            "retrying once")
-        gc.collect()
-        _time.sleep(20.0)
-        return self._generate_inner(
-            data_batch, normalize_normal, seed, noise_tile, staged,
-            batch_tile, defer_fetch)
+        # The axon tunnel reclaims device buffers asynchronously: a
+        # generation dispatched right after a large one (another pass, a
+        # crashed job, a probe) can see RESOURCE_EXHAUSTED even though the
+        # memory is already logically free, and multi-GiB drains can take
+        # minutes.  Retry with escalating waits — axon only; real TPU
+        # runtimes free synchronously, so there a genuine OOM surfaces
+        # untouched.  Retries happen OUTSIDE the except block: the
+        # exception's traceback pins the failed attempt's frames — and
+        # every device buffer they reference — which would defeat the
+        # drain.
+        for wait_s in (None, 20.0, 60.0, 120.0):
+            if wait_s is not None:
+                logger.warning(
+                    "device allocator exhausted — draining deferred frees "
+                    "and retrying in %.0f s", wait_s)
+                gc.collect()
+                _time.sleep(wait_s)
+            try:
+                return self._generate_inner(
+                    data_batch, normalize_normal, seed, noise_tile, staged,
+                    batch_tile, defer_fetch)
+            except Exception as e:  # pragma: no cover - runtime specific
+                from .utils.platform import is_axon
+
+                if ("RESOURCE_EXHAUSTED" not in str(e) or not is_axon()
+                        or wait_s == 120.0):
+                    raise
 
     def _generate_inner(
         self,
