@@ -52,8 +52,8 @@ SHAPE_INFERENCE_KEYS = (
 class PixelInput(NamedTuple):
     """A pixel video already uploaded in the lane-compact MERGED layout.
 
-    arr: (B, T, H, W*C) fp32 device buffer, values in [-1, 1];
-    shape5: the logical (B, T, H, W, C).
+    arr: (B, T, H, W*C) device buffer in the pipeline's compute dtype,
+    values in [-1, 1];  shape5: the logical (B, T, H, W, C).
 
     Built by DiffusionRendererPipeline.prepare_pixel_input; pass as a
     data_batch value to reuse one upload across several generations (the
@@ -62,6 +62,28 @@ class PixelInput(NamedTuple):
 
     arr: jax.Array
     shape5: Tuple[int, int, int, int, int]
+
+
+def _upload_merged(x, compute_dtype_str: str) -> jax.Array:
+    """Host (B, T, H, W, C) video -> merged (B, T, H, W*C) device buffer.
+
+    Cast to the compute dtype ON HOST via torch (utils/hostops — numpy's
+    bf16 cast is ~40 s at flagship size, torch's 0.5 s): uploading fp32 and
+    casting in-jit would hold the fp32 inputs AND their bf16 copies
+    simultaneously (program inputs are not freed mid-program), which tipped
+    the 8-condition flagship forward encode over HBM."""
+    x = np.asarray(x)
+    b_, t_, h_, w_, c_ = x.shape
+    if compute_dtype_str == "bfloat16":
+        from .utils.hostops import to_bfloat16
+
+        x = to_bfloat16(x)
+    else:
+        from .utils.hostops import to_float32
+
+        x = to_float32(x)
+    return jnp.asarray(
+        np.ascontiguousarray(x).reshape(b_, t_, h_, w_ * c_))
 
 
 def _prepare_latent_conditions(
@@ -603,15 +625,13 @@ class DiffusionRendererPipeline:
         self.model_type = model_type.lower()
 
     def prepare_pixel_input(self, video) -> PixelInput:
-        """Upload a host (B, T, H, W, C) fp32 video (values in [-1, 1]) once
-        in the lane-compact merged layout; the result can be passed as a
-        data_batch value to any number of generate() calls (the 5-G-buffer
-        inverse job reuses one upload across its 5 passes)."""
-        video = np.ascontiguousarray(np.asarray(video, np.float32))
-        b, t, h, w, c = video.shape
-        return PixelInput(
-            jnp.asarray(video.reshape(b, t, h, w * c)), (b, t, h, w, c)
-        )
+        """Upload a host (B, T, H, W, C) video (values in [-1, 1]) once in
+        the lane-compact merged layout and the pipeline's compute dtype;
+        the result can be passed as a data_batch value to any number of
+        generate() calls (the 5-G-buffer inverse job reuses one upload
+        across its 5 passes)."""
+        shape5 = tuple(np.shape(video))
+        return PixelInput(_upload_merged(video, self.compute_dtype), shape5)
 
     def _config_for(self, shape_5d: Tuple[int, ...]) -> RendererConfig:
         import dataclasses
@@ -840,10 +860,7 @@ class DiffusionRendererPipeline:
                 # Rank-5 device arrays keep the legacy NTHWC contract
                 # (small inputs only — fine to re-layout on device).
                 return nthwc_to_ncthw(x) if x.ndim == 5 else x
-            x = np.asarray(x, np.float32)
-            b_, t_, h_, w_, c_ = x.shape
-            return jnp.asarray(
-                np.ascontiguousarray(x).reshape(b_, t_, h_, w_ * c_))
+            return _upload_merged(x, cfg.compute_dtype)
 
         cond_converted = {}
         for i, k in enumerate(cfg.condition_keys):

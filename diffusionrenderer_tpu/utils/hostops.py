@@ -45,3 +45,18 @@ def to_float32(arr) -> np.ndarray:
         return arr
     return torch.from_numpy(np.ascontiguousarray(arr)).to(
         torch.float32).numpy()
+
+
+def to_bfloat16(arr: np.ndarray) -> np.ndarray:
+    """float -> ml_dtypes.bfloat16 numpy array, cast by torch.
+
+    numpy's own bfloat16 cast (ml_dtypes) is software-emulated and ~40 s
+    for a flagship video; torch's vectorized cast is < 1 s.  numpy cannot
+    hold torch bf16 directly, so the bits round-trip through int16."""
+    import ml_dtypes
+
+    t = torch.from_numpy(np.ascontiguousarray(np.asarray(arr)))
+    if t.dtype != torch.float32:
+        t = t.to(torch.float32)
+    return t.to(torch.bfloat16).view(torch.int16).numpy().view(
+        ml_dtypes.bfloat16)
