@@ -86,6 +86,24 @@ def _upload_merged(x, compute_dtype_str: str) -> jax.Array:
         np.ascontiguousarray(x).reshape(b_, t_, h_, w_ * c_))
 
 
+def _cond_to_ncdhw(z: jax.Array, cfg: RendererConfig) -> jax.Array:
+    """Merged (B, T, H, W*C) or NCTHW condition -> (B, C, T, H, W)."""
+    if z.ndim == 4:  # merged (B, T, H, W*C)
+        bb, tt, hh, wc = z.shape
+        cc = wc // cfg.width
+        z = z.reshape(bb, tt, hh, cfg.width, cc)
+        z = jnp.transpose(z, (0, 4, 1, 2, 3))
+    if z.shape[2] == 1 and cfg.num_frames > 1:
+        # Time-constant condition (the env projections are static per
+        # frame): caller uploads ONE frame, the broadcast happens here
+        # on device — 3 fewer full-res uploads than the reference's
+        # host-side expand (ref: nodes.py:298-304).
+        z = jnp.broadcast_to(
+            z, (z.shape[0], z.shape[1], cfg.num_frames, *z.shape[3:])
+        )
+    return z  # (B, C, T, H, W)
+
+
 def _prepare_latent_conditions(
     dit_params, vae_params, cond_tensors, present, cfg: RendererConfig,
     identity_vae: bool = False,
@@ -106,20 +124,7 @@ def _prepare_latent_conditions(
     materialized (it would lane-pad 3 -> 128, 42x)."""
 
     def _as_ncdhw(z):
-        if z.ndim == 4:  # merged (B, T, H, W*C)
-            bb, tt, hh, wc = z.shape
-            cc = wc // cfg.width
-            z = z.reshape(bb, tt, hh, cfg.width, cc)
-            z = jnp.transpose(z, (0, 4, 1, 2, 3))
-        if z.shape[2] == 1 and cfg.num_frames > 1:
-            # Time-constant condition (the env projections are static per
-            # frame): caller uploads ONE frame, the broadcast happens here
-            # on device — 3 fewer full-res uploads than the reference's
-            # host-side expand (ref: nodes.py:298-304).
-            z = jnp.broadcast_to(
-                z, (z.shape[0], z.shape[1], cfg.num_frames, *z.shape[3:])
-            )
-        return z  # (B, C, T, H, W)
+        return _cond_to_ncdhw(z, cfg)
 
     sd = cfg.sigma_data
     pieces = []
@@ -302,6 +307,48 @@ def _generate_jit(
 # three phases as separate programs so XLA frees each phase's buffers before
 # the next — same math, one extra host sync per phase boundary (negligible
 # against the multi-second denoise scan).
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_one_condition_jit(vae_params, x, *, cfg):
+    """VAE-encode ONE condition video (x sigma_data).
+
+    The staged pipeline dispatches each condition key as its own program:
+    inside a single 8-condition program XLA interleaves the independent
+    encodes and their temporaries coexist (measured 6.66 GiB buffer
+    assignment for the flagship forward job vs 2.05 for one encode), which
+    together with the 7.3 GiB int8 weights exceeds HBM.  Separate
+    dispatches serialize on the device queue, so peak = one encode."""
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    x = x.astype(compute_dtype)
+    return vae_encode(
+        vae_params, _cond_to_ncdhw(x, cfg), cfg.vae, in_layout="NCDHW"
+    ) * cfg.sigma_data
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "present", "tile"))
+def _assemble_conditions_jit(latents, *, cfg, present, tile=1):
+    """Concat per-key latents + mask/zeros channels into the conditioning
+    tensor (same semantics as _prepare_latent_conditions; latents arrive
+    already sigma_data-scaled, one per PRESENT key, in key order)."""
+    it = iter(latents)
+    ref = latents[0]
+    b, t, h, w, c = ref.shape
+    out = []
+    for i in range(len(cfg.condition_keys)):
+        if present[i]:
+            out.append(next(it))
+            if cfg.append_condition_mask:
+                out.append(jnp.ones((b, t, h, w, 1), ref.dtype))
+        else:
+            out.append(jnp.zeros((b, t, h, w, c), ref.dtype))
+            if cfg.append_condition_mask:
+                out.append(jnp.zeros((b, t, h, w, 1), ref.dtype))
+    latent = jnp.concatenate(out, axis=-1)
+    if tile > 1:
+        latent = jnp.tile(latent, (tile, 1, 1, 1, 1))
+    return latent
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "present", "identity_vae",
@@ -863,18 +910,26 @@ class DiffusionRendererPipeline:
             return _upload_merged(x, cfg.compute_dtype)
 
         cond_converted = {}
-        for i, k in enumerate(cfg.condition_keys):
-            if present[i]:
-                src = k if k in data_batch else "rgb"
-                if src not in cond_converted:
-                    cond_converted[src] = _to_merged(data_batch[src])
-        placeholder = next(iter(cond_converted.values()))
-        cond_tensors = tuple(
-            cond_converted[k if k in data_batch else "rgb"]
-            if present[i]
-            else placeholder  # ignored under static `present`
-            for i, k in enumerate(cfg.condition_keys)
-        )
+
+        def _cond_for(i):
+            src = (cfg.condition_keys[i]
+                   if cfg.condition_keys[i] in data_batch else "rgb")
+            if src not in cond_converted:
+                cond_converted[src] = _to_merged(data_batch[src])
+            return cond_converted[src]
+
+        cond_tensors = None
+        if not staged:
+            for i in range(len(cfg.condition_keys)):
+                if present[i]:
+                    _cond_for(i)
+            placeholder = next(iter(cond_converted.values()))
+            cond_tensors = tuple(
+                cond_converted[k if k in data_batch else "rgb"]
+                if present[i]
+                else placeholder  # ignored under static `present`
+                for i, k in enumerate(cfg.condition_keys)
+            )
 
         # batch_tile replicates the encoded latent on device: context /
         # masks / outputs run at b rows while only b/batch_tile rows were
@@ -913,19 +968,38 @@ class DiffusionRendererPipeline:
         import contextlib
 
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
+        bs = None
         if self.mesh is not None:
             from .parallel.sharding import batch_sharding
 
             bs = batch_sharding(self.mesh)
-            cond_tensors = tuple(jax.device_put(x, bs) for x in cond_tensors)
+            if cond_tensors is not None:
+                cond_tensors = tuple(
+                    jax.device_put(x, bs) for x in cond_tensors)
 
         with mesh_ctx, phase_timer(f"generate/{self.model_type}"):
             if staged:
                 with phase_timer("generate/encode_conditions"):
-                    latent_condition = _encode_conditions_jit(
-                        self.vae_params, cond_tensors, cfg=cfg,
-                        present=present, tile=batch_tile,
+                    # One dispatch per condition key: the device queue
+                    # serializes them, so peak temp = ONE encode (inside a
+                    # single 8-condition program XLA interleaves the
+                    # independent encodes — 6.66 GiB assignment, OOM next
+                    # to the 7.3 GiB weights).  Uploads interleave with
+                    # encodes key by key.
+                    latents = []
+                    for i in range(len(cfg.condition_keys)):
+                        if not present[i]:
+                            continue
+                        x = _cond_for(i)
+                        if bs is not None:
+                            x = jax.device_put(x, bs)
+                        latents.append(_encode_one_condition_jit(
+                            self.vae_params, x, cfg=cfg))
+                    latent_condition = _assemble_conditions_jit(
+                        tuple(latents), cfg=cfg, present=present,
+                        tile=batch_tile,
                     )
+                    del latents
                 with phase_timer("generate/denoise"):
                     sigmas = np.asarray(edm_sigmas(
                         self.num_steps, cfg.scheduler.sigma_max,
