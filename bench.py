@@ -33,10 +33,34 @@ import numpy as np
 A100_EFFECTIVE_FLOPS = 62e12  # TF32 @ 40% MFU (see module docstring)
 
 
-def dit_step_flops(p_params: float, l_tokens: int, d_model: int,
-                   num_blocks: int) -> float:
-    """2*P*L dense matmul FLOPs + 4*L^2*D attention FLOPs."""
-    return 2.0 * p_params * l_tokens + 4.0 * l_tokens**2 * d_model * num_blocks / 28.0
+def dit_step_flops(cfg, l_tokens: int) -> tuple[float, float]:
+    """Per-step FLOPs: (executed by this framework, executed by the torch
+    reference for the same job).
+
+    Matmul side counts only *per-token* matmuls (AdaLN-LoRA / t-embedder run
+    per batch element, not per token).  Cross-attention executes NO per-token
+    matmuls here: with a single-token context softmax == 1 and the whole CA
+    block collapses to two per-batch matmuls broadcast over L
+    (models/dit.py _cross_attention_block; derivation in
+    ops/attention.cross_attention_single_kv).  The torch reference runs the
+    CA q and output projections over every token (CleanGeneralDIT.py:205-313)
+    — that work is charged to the baseline, not to us.
+
+    Attention is 4*L^2*d_model per block (QK^T + PV over all heads), summed
+    over ALL blocks.  [Round-2 correction: the earlier formula counted
+    attention for one block only — a 28x undercount at the flagship shape,
+    understating both achieved TFLOP/s and the baseline step time.]
+    """
+    d, hid, nb = cfg.model_channels, cfg.hidden_dim, cfg.num_blocks
+    per_token = (
+        nb * (4 * d * d + 2 * d * hid)          # FA q/k/v/o + MLP per block
+        + cfg.patch_dim * d                      # patch embed
+        + d * (cfg.patch_spatial ** 2 * cfg.patch_temporal * cfg.out_channels)
+    )
+    attn = 4.0 * float(l_tokens) ** 2 * d * nb
+    flops_exec = 2.0 * per_token * l_tokens + attn
+    flops_ref = flops_exec + 2.0 * (nb * 2 * d * d) * l_tokens  # CA q/out proj
+    return flops_exec, flops_ref
 
 
 def _init_bf16(cfg, key, dtype, quant=None):
@@ -138,29 +162,29 @@ def _bench_config(cfg, t, h, w, dtype, n_iters=3, quant=None):
 
 def run_rung(metric, cfg, thw, dtype, quant) -> None:
     """Execute a single rung and print its JSON line (subprocess entry)."""
-    from diffusionrenderer_tpu.models.dit import dit_param_count
-
     t, h, w = thw
     dt = _bench_config(cfg, t, h, w, dtype, quant=quant)
     tokens = (t // cfg.patch_temporal) * (h // cfg.patch_spatial) * (
         w // cfg.patch_spatial
     )
-    flops = dit_step_flops(dit_param_count(cfg), tokens, cfg.model_channels,
-                           cfg.num_blocks)
-    baseline_s = flops / A100_EFFECTIVE_FLOPS
+    flops_exec, flops_ref = dit_step_flops(cfg, tokens)
+    baseline_s = flops_ref / A100_EFFECTIVE_FLOPS
     print(json.dumps({
         "metric": metric,
         "value": round(dt * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(baseline_s / dt, 3),
         # vs_baseline denominator is an ESTIMATE, not a measurement: the
-        # torch reference on A100 at TF32 tensor-core 40% MFU (62 TFLOP/s) —
-        # no GPU exists in this environment to measure (see BASELINE.md).
+        # torch reference on A100 at TF32 tensor-core 40% MFU (62 TFLOP/s),
+        # charged with the FLOPs the reference actually executes (incl. its
+        # per-token cross-attn projections) — no GPU exists in this
+        # environment to measure (see BASELINE.md).
         "baseline_note": "estimated A100-TF32 reference @ 40% MFU",
     }))
     print(
-        f"# {tokens} tokens, {flops/1e12:.1f} TFLOP/step, achieved "
-        f"{flops/dt/1e12:.1f} TFLOP/s; baseline = estimated A100 TF32 "
+        f"# {tokens} tokens, {flops_exec/1e12:.1f} TFLOP/step executed "
+        f"(ref executes {flops_ref/1e12:.1f}), achieved "
+        f"{flops_exec/dt/1e12:.1f} TFLOP/s; baseline = estimated A100 TF32 "
         f"reference {baseline_s*1e3:.0f} ms",
         file=sys.stderr,
     )
@@ -212,10 +236,17 @@ def main() -> None:
             print(f"# rung {metric} skipped: exceeds single-chip HBM budget "
                   f"(needs TP>=2 or int8 weights)", file=sys.stderr)
             continue
-        proc = subprocess.run(
-            [sys.executable, __file__, f"--rung={idx}"],
-            capture_output=True, text=True, timeout=1200,
-        )
+        try:
+            # Axon remote compiles of the 28-block flagship program are
+            # minutes and vary run to run; give each rung a wide margin.
+            proc = subprocess.run(
+                [sys.executable, __file__, f"--rung={idx}"],
+                capture_output=True, text=True, timeout=2700,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"rung {metric} timed out"
+            print(f"# {last_err}", file=sys.stderr)
+            continue
         sys.stderr.write(proc.stderr[-2000:])
         if proc.returncode == 0 and proc.stdout.strip():
             sys.stdout.write(proc.stdout)
