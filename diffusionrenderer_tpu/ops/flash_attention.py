@@ -169,6 +169,58 @@ def _flash_kernel_bounded(*refs, has_bias: bool):
         ).astype(o_ref.dtype)
 
 
+def _flash_kernel_noshift(*refs, has_bias: bool):
+    """Flash attention with NO exponent shift at all: p = exp2(s).
+
+    Valid whenever the precomputed global score bound guarantees exp2(s),
+    the normalizer sum and the p*V accumulator all stay inside fp32 range
+    (checked OUTSIDE the kernel; the shifted bounded kernel is the lax.cond
+    fallback).  Because acc/l cancels any uniform per-row factor, skipping
+    the shift changes nothing to fp32 rounding — it just deletes one full
+    VPU subtract pass over the L x L score tiles (and the per-row bound
+    operand).  Within the DiT's RMS-normed q/k envelope the bound is
+    ~16 log2 units, far under the fp32 limit, so this is the branch that
+    actually runs.
+    """
+    it = iter(refs)
+    q_ref, k_ref, v_ref = (next(it) for _ in range(3))
+    bias_ref = next(it) if has_bias else None
+    o_ref = next(it)
+    l_ref, acc_ref = (next(it) for _ in range(2))
+
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_bias:
+        s = s + bias_ref[0][None, :]
+
+    p = jnp.exp2(s)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    l_ref[...] = l_ref[...] + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+    )
+    acc_ref[...] = acc_ref[...] + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _finalize():
+        o_ref[0] = (
+            acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-37)
+        ).astype(o_ref.dtype)
+
+
 def _flash_kernel_bounded_pipe(*refs, has_bias: bool, num_kv: int):
     """Software-pipelined bounded kernel: tile j's QK^T (MXU) is independent
     of tile j-1's exp2/sum (VPU), so the scheduler can overlap them.
@@ -323,6 +375,84 @@ def _quant_channels_int8(v):
     return vi, s
 
 
+def _bounded_cond_call(q, inputs, in_specs, b, h, lq, lq_pad, lk_pad,
+                       block_q, block_k, d, mb, has_bias, out_dtype,
+                       interpret):
+    """Bounded-softmax flash attention, runtime-dispatched between the
+    no-shift kernel (p = exp2(s), one fewer VPU pass per score tile) and
+    the per-row-shifted kernel via lax.cond on a global fp32-range check:
+
+        max_i bound_i + log2(L_k) + log2(max|v|) < 120
+
+    guarantees exp2(s), the normalizer sum (<= L_k * 2^bound) and the p*V
+    accumulator (<= L_k * 2^bound * max|v|) all stay finite in fp32 with no
+    shift at all; the acc/l division cancels the uniform per-row factor
+    exactly, so both branches agree to fp32 rounding.  Within the DiT's
+    RMS-normed q/k envelope the bound is ~16 + ~15 + O(1) — the no-shift
+    branch is the one that runs; out-of-envelope inputs take the shifted
+    kernel and remain exact."""
+    grid = (b, h, lq_pad // block_q, lk_pad // block_k)
+    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, h * d), out_dtype)]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bi, hi, i, j: (bi, i, hi))
+    ]
+    common = dict(
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * lq_pad * lk_pad * d * b * h,
+            bytes_accessed=(lq_pad + 2 * lk_pad) * d * b * h
+            * q.dtype.itemsize,
+            transcendentals=lq_pad * lk_pad * b * h,
+        ),
+        interpret=interpret,
+    )
+
+    def scratch():
+        return [
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
+        ]
+
+    # Both branches take the same operands: the per-row bound (index 3) is
+    # only needed by the no-longer-used shifted kernel; the fallback here is
+    # the EXACT online-softmax kernel, so bounded mode never degrades — the
+    # envelope check only selects speed.
+    ns_inputs = inputs[:3] + inputs[4:]
+    ns_specs = in_specs[:3] + in_specs[4:]
+
+    def noshift():
+        return pl.pallas_call(
+            functools.partial(_flash_kernel_noshift, has_bias=has_bias),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=grid, in_specs=ns_specs,
+                out_specs=out_specs, scratch_shapes=scratch()),
+            **common,
+        )(*ns_inputs)[0]
+
+    def online():
+        kernel = (functools.partial(_flash_kernel, has_bias=True)
+                  if has_bias else _flash_kernel_nobias)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=grid, in_specs=ns_specs,
+                out_specs=out_specs,
+                scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32)]
+                + scratch()),
+            **common,
+        )(*ns_inputs)[0]
+
+    vmax = jnp.max(jnp.abs(inputs[2].astype(jnp.float32)))
+    headroom = (jnp.max(mb) + math.log2(float(max(lk_pad, 1)))
+                + jnp.log2(jnp.maximum(vmax, 1e-30)))
+    out = jax.lax.cond(headroom < 120.0, noshift, online)
+    return out[:, :lq].reshape(b, lq, h, d)
+
+
 def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
                 qk_int8=False, pv_int8=False, bounded=False,
                 pipelined=False):
@@ -406,8 +536,9 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
             kernel = functools.partial(_flash_kernel_bounded_pipe,
                                        has_bias=has_bias, num_kv=nkv)
         else:
-            kernel = functools.partial(_flash_kernel_bounded,
-                                       has_bias=has_bias)
+            return _bounded_cond_call(
+                q, inputs, in_specs, b, h, lq, lq_pad, lk_pad, block_q,
+                block_k, d, mb, has_bias, out_dtype, interpret)
     elif qk_int8:
         assert not partial_stats, "partial stats + int8 not supported"
         qi, sq = _quant_rows_int8(q)  # q already carries scale*log2e
@@ -544,10 +675,14 @@ def flash_attention(
     q: (B, Lq, H, D); k, v: (B, Lk, H, D) -> (B, Lq, H, D).
     On non-TPU backends runs in Pallas interpret mode (for tests).
 
-    bounded: replace the per-tile running max with a precomputed per-row
-    Cauchy-Schwarz bound (fp32's floating mantissa makes the uniform
-    scale-down cancel in acc/l — same numerics to fp32 rounding, fewer VPU
-    passes per tile).  qk_int8: SageAttention-style per-token int8
+    bounded: drop the per-tile running max entirely.  A precomputed
+    Cauchy-Schwarz row bound proves (outside the kernel) that exp2(s), the
+    normalizer and the p*V accumulator fit fp32 unshifted; within that
+    envelope the no-shift kernel runs (p = exp2(s) — the acc/l division
+    cancels any uniform factor, same numerics to fp32 rounding, fewer VPU
+    passes per tile), and out-of-envelope inputs take the exact
+    online-softmax kernel via lax.cond — bounded mode never degrades.
+    qk_int8: SageAttention-style per-token int8
     quantization of q and k — QK^T on the MXU int8 path, scores dequantized
     per tile with the rank-1 scale product.  pv_int8 additionally quantizes
     P (exact-cancelling 127 fold) and V (per-channel) so PV is int8 too.

@@ -94,6 +94,32 @@ class TestFlashAttention:
         assert np.all(np.isfinite(got))
         np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
 
+    def test_bounded_noshift_branch_matches_xla(self):
+        """Unit-scale inputs pass the global fp32-range check, so bounded
+        mode takes the no-shift kernel (p = exp2(s), no per-row bound
+        operand) — must still match the oracle exactly."""
+        q, k, v = make_qkv(1, 256, 2, 128, seed=8)
+        q, k = q * 0.1, k * 0.1  # headroom check certainly passes
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, bounded=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+    def test_bounded_fallback_branch_large_logits(self):
+        """Out-of-envelope magnitudes (bound >> fp32 headroom) must take the
+        shifted kernel through the lax.cond and stay exact."""
+        q, k, v = make_qkv(1, 256, 1, 128, seed=9)
+        q = q * 100.0  # row bound ~ 1.6k log2 units: no-shift would overflow
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(
+            flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, bounded=True)
+        )
+        assert np.all(np.isfinite(got))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
     @pytest.mark.parametrize("l", [256, 200])  # even split + ragged tail
     def test_bounded_pipelined_matches_xla(self, l):
         """Software-pipelined bounded variant (score tile carried in VMEM
