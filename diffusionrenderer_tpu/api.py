@@ -109,6 +109,22 @@ def load_pipeline(
     )
 
 
+def _prep_input_video(image) -> np.ndarray:
+    """Host-side input prep for a pixel condition video.
+
+    uint8 stays uint8: the pipeline uploads it RAW (quarter the fp32 bytes
+    over the transfer link) and range-maps [0,255] -> [-1,1] on device
+    (pipeline._cond_to_ncdhw).  Float input is range-mapped [0,1] -> [-1,1]
+    on the host via torch (ref: nodes.py:183; this host's numpy runs
+    elementwise kernels ~100x slower, utils/hostops.py)."""
+    from .utils.hostops import to_float32, to_signed_range
+
+    arr = np.asarray(image)
+    if arr.dtype == np.uint8:
+        return np.asarray(to_5d_video(arr))
+    return to_signed_range(np.asarray(to_5d_video(to_float32(arr))))
+
+
 def inverse_render(
     pipeline: DiffusionRendererPipeline,
     image,
@@ -132,12 +148,7 @@ def inverse_render(
     # All full-res math stays on the host: the pipeline uploads conditions
     # NCTHW (lane-pad-safe); an eager device NTHWC video would occupy ~42x
     # its nominal bytes (see pipeline._generate_inner).
-    from .utils.hostops import to_float32, to_signed_range
-
-    video = to_5d_video(to_float32(image))
-    # [0,1] -> [-1,1] (ref: nodes.py:183); torch-backed — this host's numpy
-    # runs elementwise kernels ~100x slower (utils/hostops.py).
-    video = to_signed_range(np.asarray(video))
+    video = _prep_input_video(image)
     b, t, h, w, c = video.shape
 
     indices = [GBUFFER_INDEX_MAPPING[p] for p in passes]
@@ -229,13 +240,14 @@ def forward_render(
     }
     # Host-side prep throughout: the pipeline uploads conditions NCTHW
     # (lane-pad-safe); eager device NTHWC videos would be ~42x padded.
-    from .utils.hostops import to_float32, to_signed_range, u8_to_unit_float
+    # uint8 G-buffers ride the raw-upload fast path (_prep_input_video).
+    from .utils.hostops import to_signed_range, u8_to_unit_float
 
     data_batch: Dict[str, Any] = {}
     shape = None
     for name, g in gbuffers.items():
-        g5 = np.asarray(to_5d_video(to_float32(g)))
-        data_batch[name] = to_signed_range(g5)  # (ref: nodes.py:278)
+        g5 = _prep_input_video(g)  # (ref: nodes.py:278)
+        data_batch[name] = g5
         shape = g5.shape
     b, t, h, w, _ = shape
     data_batch["video"] = data_batch["depth"]  # (ref: nodes.py:281)

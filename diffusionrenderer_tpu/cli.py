@@ -24,7 +24,8 @@ import numpy as np
 
 
 def _load_image(path: str) -> np.ndarray:
-    """Any image (LDR via imageio, HDR via native codec) -> (H, W, 3) fp32."""
+    """Any image (LDR via imageio, HDR via native codec) -> (H, W, 3);
+    uint8 sources stay uint8 (raw-upload fast path), the rest fp32 [0,1]."""
     from .io import load_hdr_file
 
     if path.lower().endswith((".hdr", ".exr", ".pfm")):
@@ -33,7 +34,10 @@ def _load_image(path: str) -> np.ndarray:
 
     img = np.asarray(iio.imread(path))
     if img.dtype == np.uint8:
-        img = img.astype(np.float32) / 255.0
+        # Keep uint8: the pipeline uploads it raw (~5x faster transfer than
+        # bf16) and range-maps on device (api._prep_input_video).
+        return img[..., :3] if img.ndim == 3 else np.repeat(
+            img[..., None], 3, axis=-1)
     elif img.dtype == np.uint16:
         img = img.astype(np.float32) / 65535.0
     if img.ndim == 2:
@@ -42,8 +46,16 @@ def _load_image(path: str) -> np.ndarray:
 
 
 def _load_video(paths: List[str]) -> np.ndarray:
-    """Frame paths -> (1, T, H, W, 3) in [0, 1]."""
+    """Frame paths -> (1, T, H, W, 3): uint8 [0,255] when every frame is
+    uint8 (raw-upload fast path), float32 [0,1] otherwise."""
     frames = [_load_image(p) for p in paths]
+    if not all(f.dtype == np.uint8 for f in frames):
+        # Mixed formats: unify to float [0,1] (a raw np.stack would keep
+        # uint8 frames at [0,255] scale next to [0,1] floats).
+        frames = [
+            f.astype(np.float32) / 255.0 if f.dtype == np.uint8 else f
+            for f in frames
+        ]
     return np.stack(frames)[None]
 
 

@@ -52,8 +52,10 @@ SHAPE_INFERENCE_KEYS = (
 class PixelInput(NamedTuple):
     """A pixel video already uploaded in the lane-compact MERGED layout.
 
-    arr: (B, T, H, W*C) device buffer in the pipeline's compute dtype,
-    values in [-1, 1];  shape5: the logical (B, T, H, W, C).
+    arr: (B, T, H, W*C) device buffer — either the pipeline's compute dtype
+    with values in [-1, 1], or raw uint8 [0, 255] (the half-bytes upload
+    fast path; range-mapped on device in _cond_to_ncdhw);
+    shape5: the logical (B, T, H, W, C).
 
     Built by DiffusionRendererPipeline.prepare_pixel_input; pass as a
     data_batch value to reuse one upload across several generations (the
@@ -71,10 +73,18 @@ def _upload_merged(x, compute_dtype_str: str) -> jax.Array:
     bf16 cast is ~40 s at flagship size, torch's 0.5 s): uploading fp32 and
     casting in-jit would hold the fp32 inputs AND their bf16 copies
     simultaneously (program inputs are not freed mid-program), which tipped
-    the 8-condition flagship forward encode over HBM."""
+    the 8-condition flagship forward encode over HBM.
+
+    uint8 input is the fast path: uploaded RAW (half the bytes of bf16,
+    a quarter of fp32 — tunnel/PCIe transfer is a measured wall at
+    flagship size) and range-mapped [0,255] -> [-1,1] in-jit at HBM
+    bandwidth (_cond_to_ncdhw).  The uint8->float cast never touches the
+    host CPU at all."""
     x = np.asarray(x)
     b_, t_, h_, w_, c_ = x.shape
-    if compute_dtype_str == "bfloat16":
+    if x.dtype == np.uint8:
+        pass  # raw upload; dequant + range map happen on device
+    elif compute_dtype_str == "bfloat16":
         from .utils.hostops import to_bfloat16
 
         x = to_bfloat16(x)
@@ -87,12 +97,19 @@ def _upload_merged(x, compute_dtype_str: str) -> jax.Array:
 
 
 def _cond_to_ncdhw(z: jax.Array, cfg: RendererConfig) -> jax.Array:
-    """Merged (B, T, H, W*C) or NCTHW condition -> (B, C, T, H, W)."""
+    """Merged (B, T, H, W*C) or NCTHW condition -> (B, C, T, H, W).
+
+    uint8 input (the raw-upload fast path, _upload_merged) is range-mapped
+    [0,255] -> [-1,1] here, in-jit: x*(2/255) - 1 == the reference's host
+    `/255` then `*2-1` (ref: nodes.py:183)."""
     if z.ndim == 4:  # merged (B, T, H, W*C)
         bb, tt, hh, wc = z.shape
         cc = wc // cfg.width
         z = z.reshape(bb, tt, hh, cfg.width, cc)
         z = jnp.transpose(z, (0, 4, 1, 2, 3))
+    if z.dtype == jnp.uint8:
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        z = z.astype(dt) * jnp.asarray(2.0 / 255.0, dt) - jnp.asarray(1.0, dt)
     if z.shape[2] == 1 and cfg.num_frames > 1:
         # Time-constant condition (the env projections are static per
         # frame): caller uploads ONE frame, the broadcast happens here
@@ -321,7 +338,10 @@ def _encode_one_condition_jit(vae_params, x, *, cfg):
     dispatches serialize on the device queue, so peak = one encode."""
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
-    x = x.astype(compute_dtype)
+    if x.dtype != jnp.uint8:
+        # uint8 must reach _cond_to_ncdhw unconverted: it carries the raw
+        # [0,255] range that the in-jit range map rescales to [-1,1].
+        x = x.astype(compute_dtype)
     return vae_encode(
         vae_params, _cond_to_ncdhw(x, cfg), cfg.vae, in_layout="NCDHW"
     ) * cfg.sigma_data
@@ -970,12 +990,24 @@ class DiffusionRendererPipeline:
         mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
         bs = None
         if self.mesh is not None:
-            from .parallel.sharding import batch_sharding
+            from jax.sharding import NamedSharding, PartitionSpec
 
-            bs = batch_sharding(self.mesh)
+            data_n = self.mesh.shape["data"]
+
+            def bs(x):  # noqa: E731 — shadows the no-mesh None sentinel
+                # Shard the leading batch axis over `data` whatever the rank
+                # (pixel tensors arrive MERGED rank-4, legacy rank-5).  A
+                # batch that doesn't divide `data` (e.g. B=1 conditions that
+                # a later batch_tile fans out) stays replicated — the tiled
+                # denoise activations still shard via the in-jit token
+                # constraint (_sample_segment_jit, shard_tokens=True).
+                if x.shape[0] % data_n != 0:
+                    return x
+                spec = PartitionSpec("data", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
             if cond_tensors is not None:
-                cond_tensors = tuple(
-                    jax.device_put(x, bs) for x in cond_tensors)
+                cond_tensors = tuple(bs(x) for x in cond_tensors)
 
         with mesh_ctx, phase_timer(f"generate/{self.model_type}"):
             if staged:
@@ -992,7 +1024,7 @@ class DiffusionRendererPipeline:
                             continue
                         x = _cond_for(i)
                         if bs is not None:
-                            x = jax.device_put(x, bs)
+                            x = bs(x)
                         latents.append(_encode_one_condition_jit(
                             self.vae_params, x, cfg=cfg))
                     latent_condition = _assemble_conditions_jit(

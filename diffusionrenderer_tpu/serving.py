@@ -136,13 +136,23 @@ class ServingExecutor:
         # channels-last batch eagerly, and the TPU runtime lane-pads such
         # buffers ~42x (see pipeline._generate_inner — it uploads NCTHW).
         keys = batch[0].data_batch.keys()
-        merged = {
-            k: np.concatenate(
-                [np.asarray(r.data_batch[k]) for r in batch], axis=0
-            )
-            for k in keys
-            if k != "context_index"
-        }
+
+        def _merge(k):
+            rows = [np.asarray(r.data_batch[k]) for r in batch]
+            if any(r.dtype == np.uint8 for r in rows) and not all(
+                r.dtype == np.uint8 for r in rows
+            ):
+                # Mixed uint8/[-1,1]-float rows: a raw concat would keep the
+                # uint8 rows at [0,255] scale.  Unify to signed-range float
+                # (uint8-only batches stay uint8 — the raw-upload fast path).
+                rows = [
+                    r.astype(np.float32) * (2.0 / 255.0) - 1.0
+                    if r.dtype == np.uint8 else r
+                    for r in rows
+                ]
+            return np.concatenate(rows, axis=0)
+
+        merged = {k: _merge(k) for k in keys if k != "context_index"}
         if "context_index" in keys:
             merged["context_index"] = np.concatenate(
                 [np.asarray(r.data_batch["context_index"]).reshape(-1)

@@ -88,6 +88,46 @@ def main():
         print(f"  DP weak scaling n={n}: {dt*1e3:8.1f} ms/step "
               f"(efficiency {eff:.3f}, ideal 1.0)")
 
+    # Strong scaling over the seq axis: fixed GLOBAL token count, token axis
+    # sharded over `seq`, self-attention through the sequence-parallel flash
+    # path (all-gather KV; parallel/flash_sp.py).  Ideal: t(n) = t(1)/n.
+    from diffusionrenderer_tpu.parallel import (
+        make_mesh, token_sharding_constraint,
+    )
+
+    sp_t, sp_h = t, 4 * h  # taller grid so the token axis splits evenly
+    print(f"strong scaling (seq axis): global grid ({sp_t},{sp_h},{w}), "
+          f"{(sp_t) * (sp_h // 2) * (w // 2)} tokens")
+    sp_results = {}
+    for n in sizes:
+        mesh = make_mesh(n, data=1, seq=n, tensor=1)
+        rep = NamedSharding(mesh, P())
+        constraint = token_sharding_constraint(mesh)
+        x = jax.random.normal(jax.random.key(1), (1, sp_t, sp_h, w,
+                                                  cfg.in_channels), dtype)
+        cond = jax.random.normal(jax.random.key(2),
+                                 (1, sp_t, sp_h, w,
+                                  cfg.additional_concat_ch), dtype)
+        sig = jnp.full((1,), 7.5, dtype)
+        ctx = jnp.zeros((1,), jnp.int32)
+        p = jax.device_put(params, rep)
+
+        fwd = jax.jit(lambda p, x, s, c, ci: dit_forward(
+            p, x, s, c, ci, cfg, seq_sharding_constraint=constraint,
+            attn_backend="flash_sp", mesh=mesh))
+        with mesh:
+            out = fwd(p, x, sig, cond, ctx)
+            _ = np.asarray(out.addressable_shards[0].data)[0, 0, 0, 0]
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                out = fwd(p, x * (1.0 + i * 1e-3), sig, cond, ctx)
+                _ = np.asarray(out.addressable_shards[0].data)[0, 0, 0, 0]
+        dt = (time.perf_counter() - t0) / args.iters
+        sp_results[n] = dt
+        eff = sp_results[1] / (dt * n)
+        print(f"  SP strong scaling n={n}: {dt*1e3:8.1f} ms/step "
+              f"(speedup {sp_results[1]/dt:.2f}x, efficiency {eff:.3f})")
+
     if len(sizes) == 1:
         print("NOTE: single device visible — real multi-chip scaling needs a "
               "TPU slice; harness validated, BASELINE row blocked on hardware.")

@@ -26,8 +26,12 @@ vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 pipe = DiffusionRendererPipeline(dit, vae, model_type="inverse", num_steps=15)
 pipe.decode_chunk_frames = 4
 
-rng = np.random.default_rng(7)
-image = rng.random((1, FRAMES, H, W, 3), np.float32)  # [0,1] host video (B,T,H,W,C)
+# uint8 input video: the realistic case (decoded LDR frames) and the
+# raw-upload fast path — ~5x faster transfer than bf16 (measured 4.4 s vs
+# 23.7 s per flagship video); range map happens on device.
+import torch
+image = torch.randint(0, 256, (1, FRAMES, H, W, 3), dtype=torch.uint8,
+                      generator=torch.Generator().manual_seed(7)).numpy()
 
 # Warm-up: single pass compiles every program the 5-pass job will use.
 t0 = time.perf_counter()

@@ -13,8 +13,12 @@ vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 pipe = DiffusionRendererPipeline(dit, vae, model_type="inverse", num_steps=15)
 pipe.decode_chunk_frames = 4
 # Host video: the runtime lane-pads device channels-last buffers ~42x, so the
-# pipeline ingests host arrays and uploads NCTHW (see pipeline._generate_inner).
-video = np.random.default_rng(2).random((1, 57, 704, 1280, 3), np.float32) * 2 - 1
+# pipeline ingests host arrays and uploads merged (see pipeline._generate_inner).
+# uint8 = the realistic decoded-frames input and the raw-upload fast path
+# (~5x faster transfer than bf16; range map [0,255]->[-1,1] on device).
+import torch
+video = torch.randint(0, 256, (1, 57, 704, 1280, 3), dtype=torch.uint8,
+                      generator=torch.Generator().manual_seed(2)).numpy()
 batch = {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}
 t0 = time.perf_counter()
 out = pipe.generate(batch, seed=42)

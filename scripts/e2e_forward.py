@@ -25,10 +25,17 @@ vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 pipe = DiffusionRendererPipeline(dit, vae, model_type="forward", num_steps=15)
 pipe.decode_chunk_frames = 4
 
-rng = np.random.default_rng(11)
-gb = {k: rng.random((1, FRAMES, H, W, 3), np.float32)
-      for k in ("depth", "normal", "roughness", "metallic", "base_color")}
+import torch
+# uint8 G-buffers: the realistic input (LDR frames / inverse-pass outputs)
+# and the raw-upload fast path — uint8 transfers ~5x faster than bf16 over
+# the tunnel (measured 4.4 s vs 23.7 s per flagship video) and range-maps
+# [0,255]->[-1,1] on device (pipeline._cond_to_ncdhw).
+gb = {k: torch.randint(0, 256, (1, FRAMES, H, W, 3), dtype=torch.uint8,
+                       generator=torch.Generator().manual_seed(i)).numpy()
+      for i, k in enumerate(("depth", "normal", "roughness", "metallic",
+                             "base_color"))}
 # Synthetic HDR panorama (equirect 512x1024), values above 1 as real HDRs have.
+rng = np.random.default_rng(11)
 env = (rng.random((512, 1024, 3), np.float32) ** 2) * 8.0
 
 def run(seed):

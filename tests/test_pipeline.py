@@ -169,6 +169,21 @@ class TestInverseAPI:
                 err_msg=f"batched vs serial mismatch for {k}",
             )
 
+    def test_uint8_input_matches_float(self, inv_pipe):
+        """uint8 input rides the raw-upload fast path (range map on device,
+        pipeline._cond_to_ncdhw) and must match the host-float path."""
+        img_u8 = np.random.default_rng(8).integers(
+            0, 256, (1, 16, 16, 3), np.uint8
+        )
+        a = inverse_render(inv_pipe, img_u8, passes=("basecolor", "normal"))
+        b = inverse_render(inv_pipe, img_u8.astype(np.float32) / 255.0,
+                           passes=("basecolor", "normal"))
+        for k in a:
+            np.testing.assert_allclose(
+                a[k], b[k], atol=1.5 / 255.0,
+                err_msg=f"uint8 vs float path mismatch for {k}",
+            )
+
     def test_3d_input_coercion(self, inv_pipe):
         img = np.random.default_rng(6).uniform(size=(16, 16, 3)).astype(np.float32)
         out = inverse_render(inv_pipe, img, passes=("depth",))

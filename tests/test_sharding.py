@@ -150,6 +150,48 @@ class TestShardedPipeline:
         # uint8 outputs may differ by 1 count from collective reduction order.
         assert np.abs(got.astype(int) - expected.astype(int)).max() <= 1
 
+    def test_batched_5pass_api_on_data_mesh(self):
+        """api.inverse_render(batch_passes=True) with the 5 G-buffer rows
+        riding the `data` mesh axis == the single-device batched result.
+
+        This is the framework's multi-chip flagship path: the fully-batched
+        B=5 job exceeds one chip's HBM at flagship scale (BASELINE.md), so
+        batch rows shard over `data` (the reference loops the 5 passes
+        serially on one GPU, ref: nodes.py:187-213).
+        """
+        from diffusionrenderer_tpu.api import inverse_render
+        from diffusionrenderer_tpu.config import VAEConfig
+        from diffusionrenderer_tpu.models.vae import init_vae_params
+        from diffusionrenderer_tpu.pipeline import DiffusionRendererPipeline
+
+        tiny_vae = VAEConfig(
+            encoder_block_out_channels=(8, 12, 16, 16),
+            decode_block_out_channels=(12, 16, 16, 16),
+            num_layers=1,
+        )
+        dit = init_dit_params(jax.random.key(0), CFG, dtype=jnp.float32)
+        vae = init_vae_params(jax.random.key(1), tiny_vae, dtype=jnp.float32)
+
+        def make(mesh=None):
+            p = DiffusionRendererPipeline(
+                dit, vae, model_type="inverse", num_steps=2,
+                compute_dtype="float32", net_config=CFG, vae_config=tiny_vae,
+            )
+            if mesh is not None:
+                p.shard(mesh)
+            return p
+
+        img = np.random.default_rng(9).uniform(size=(1, 16, 16, 3)).astype(
+            np.float32)
+        expected = inverse_render(make(), img, batch_passes=True)
+        mesh = make_mesh(5, data=5, seq=1, tensor=1)
+        got = inverse_render(make(mesh), img, batch_passes=True)
+        assert set(got) == set(expected)
+        for k in expected:
+            assert np.abs(
+                got[k].astype(np.float64) - expected[k].astype(np.float64)
+            ).max() <= 1.5 / 255.0, f"sharded batched pass mismatch for {k}"
+
 
 class TestSequenceParallelAttention:
     """shard_map'd attention kernels (parallel/flash_sp.py) == XLA oracle."""
