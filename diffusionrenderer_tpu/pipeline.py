@@ -781,22 +781,29 @@ class DiffusionRendererPipeline:
         t_lat = sample.shape[1]
         step = chunk - overlap
         assert step >= 1, "chunk must exceed overlap"
-        pieces = []
+        # Dispatch every chunk decode first (device queue serializes them),
+        # THEN fetch in order: chunk i's device->host readback overlaps
+        # chunk i+1's decode compute.  Decoded chunks are merged uint8 —
+        # holding all of them on device is ~the output video's nominal size.
+        dispatched = []
         start = 0
         while start < t_lat:
             length = min(chunk, t_lat - start)
             if start > 0 and length <= overlap:
                 break  # fully covered by the previous chunk
-            out = np.asarray(_decode_jit(
+            dispatched.append((start, length, _decode_jit(
                 self.vae_params, sample[:, start : start + length],
                 normal_mask, cfg=cfg,
-            ))  # merged (B, T_pix, H, W*C), (length-1)*8+1 frames
+            )))  # merged (B, T_pix, H, W*C), (length-1)*8+1 frames
+            start += step
+        pieces = []
+        for start, length, dev in dispatched:
+            out = np.asarray(dev)
             if start == 0:
                 pieces.append(out)
             else:
                 keep = 8 * (length - overlap)
                 pieces.append(out[:, -keep:])
-            start += step
         return np.concatenate(pieces, axis=1)
 
     def generate(
