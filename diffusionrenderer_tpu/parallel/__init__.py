@@ -11,6 +11,8 @@ from .sharding import (
     AXIS_TENSOR,
     batch_sharding,
     dit_param_shardings,
+    initialize_distributed,
+    make_hybrid_mesh,
     make_mesh,
     shard_params,
     token_sharding_constraint,

@@ -135,3 +135,77 @@ def token_sharding_constraint(mesh: Mesh):
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """(B, T, H, W, C) video tensors: shard batch over data."""
     return _ns(mesh, AXIS_DATA, None, None, None, None)
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host entry: initialize the JAX distributed runtime.
+
+    Call once per process before any device use on a multi-host deployment
+    (TPU pods / multi-slice).  On TPU pods all arguments are auto-detected
+    from the environment; kwargs pass through to jax.distributed.initialize
+    (coordinator_address/num_processes/process_id) for manual setups.
+    Idempotent: a second call is a no-op.
+    """
+    try:
+        from jax._src.distributed import global_state
+
+        if global_state.client is not None:
+            return  # already initialized
+    except ImportError:  # private module moved: fall back to try/except
+        pass
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # double-init race
+        if "already initialized" not in str(e):
+            raise
+
+
+def make_hybrid_mesh(
+    dcn_data: int,
+    data: int = 1,
+    seq: int = 1,
+    tensor: int = 1,
+) -> Mesh:
+    """(data, seq, tensor) mesh spanning multiple slices over DCN.
+
+    Multi-slice TPU deployments have two interconnect tiers: ICI within a
+    slice (fast) and DCN between slices (orders slower).  The communication-
+    heavy axes (`seq`: per-layer KV all-gathers; `tensor`: per-matmul
+    reduce-scatters) must stay on ICI; only `data` — which communicates
+    nothing during inference and one gradient psum per step during training
+    — may cross DCN.  create_hybrid_device_mesh places the DCN factor
+    outermost, so here it composes into the data axis:
+
+        global data axis = dcn_data (across slices) x data (within slice)
+
+    and `seq`/`tensor` factor the within-slice devices.  The result is a
+    plain (data, seq, tensor) Mesh — every sharding/constraint helper in
+    this module applies unchanged; XLA routes each collective over the
+    correct tier from the device coordinates.
+
+    Single-slice processes (or CPU test meshes) should use make_mesh.
+    """
+    from jax.experimental import mesh_utils
+
+    per_slice = data * seq * tensor
+    devices = jax.devices()
+    if len(devices) != dcn_data * per_slice:
+        raise ValueError(
+            f"hybrid mesh {dcn_data}x({data}x{seq}x{tensor}) needs "
+            f"{dcn_data * per_slice} devices, {len(devices)} visible"
+        )
+    if hasattr(devices[0], "slice_index"):
+        # Real multi-slice TPU: topology-aware placement (DCN outermost).
+        devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(data, seq, tensor),
+            dcn_mesh_shape=(dcn_data, 1, 1),
+            devices=devices,
+        )
+    else:
+        # CPU/test devices carry no slice topology: contiguous groups of
+        # per_slice devices stand in for slices (same shape + axis order).
+        devs = np.asarray(devices).reshape(
+            dcn_data, data, seq, tensor
+        ).reshape(dcn_data * data, seq, tensor)
+    assert devs.shape == (dcn_data * data, seq, tensor), devs.shape
+    return Mesh(devs, (AXIS_DATA, AXIS_SEQ, AXIS_TENSOR))

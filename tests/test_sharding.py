@@ -69,6 +69,38 @@ class TestShardedForward:
             got = np.asarray(fwd(sharded_params, xs, sigma, conds, ctx))
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
+    def test_hybrid_dcn_mesh(self, setup):
+        """make_hybrid_mesh: 2 'slices' x (1,2,2) — the multi-slice layout
+        where only the data axis crosses DCN.  On CPU test devices slices
+        are stood in by contiguous groups; the invariant is identical
+        numerics through the same (data, seq, tensor) sharding helpers."""
+        from diffusionrenderer_tpu.parallel import make_hybrid_mesh
+
+        params, x, sigma, cond, ctx = setup
+        expected = np.asarray(dit_forward(params, x, sigma, cond, ctx, CFG))
+        mesh = make_hybrid_mesh(dcn_data=2, data=1, seq=2, tensor=2)
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 2, "seq": 2, "tensor": 2,
+        }
+        sharded_params = shard_params(params, dit_param_shardings(params, mesh))
+        bs = batch_sharding(mesh)
+        xs = jax.device_put(x, bs)
+        conds = jax.device_put(cond, bs)
+        constraint = token_sharding_constraint(mesh)
+
+        @jax.jit
+        def fwd(p, x, s, c, ci):
+            return dit_forward(
+                p, x, s, c, ci, CFG, seq_sharding_constraint=constraint
+            )
+
+        with mesh:
+            got = np.asarray(fwd(sharded_params, xs, sigma, conds, ctx))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+        with pytest.raises(ValueError, match="devices"):
+            make_hybrid_mesh(dcn_data=3, data=1, seq=2, tensor=2)
+
     def test_tensor_only_mesh(self, setup):
         params, x, sigma, cond, ctx = setup
         expected = np.asarray(dit_forward(params, x, sigma, cond, ctx, CFG))
