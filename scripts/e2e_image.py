@@ -25,8 +25,16 @@ vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 pipe = DiffusionRendererPipeline(dit, vae, model_type="inverse", num_steps=15)
 
 import torch
+# Distinct warmup vs steady images: the axon tunnel caches value-identical
+# computations server-side, so re-running the warmup's exact (image, seed,
+# context_index) would return cached results and flatter the timing.
+g = torch.Generator().manual_seed(7)
 image = torch.randint(0, 256, (1, 1, H, W, 3), dtype=torch.uint8,
-                      generator=torch.Generator().manual_seed(7)).numpy()
+                      generator=g).numpy()
+image2 = torch.randint(0, 256, (1, 1, H, W, 3), dtype=torch.uint8,
+                       generator=g).numpy()
+image3 = torch.randint(0, 256, (1, 1, H, W, 3), dtype=torch.uint8,
+                       generator=g).numpy()
 
 # Warm-up compiles; serial mode shares one program across the 5 passes.
 t0 = time.perf_counter()
@@ -39,15 +47,15 @@ time.sleep(10)
 # at 1024 tokens all five rows fit one chip comfortably, so batching is
 # the single-dispatch fast path for images (unlike flagship video).
 t0 = time.perf_counter()
-out = api.inverse_render(pipe, image, batch_passes=False)
+out = api.inverse_render(pipe, image2, batch_passes=False)
 dt_serial = time.perf_counter() - t0
 print(f"E2E_IMAGE_5PASS_SERIAL_S {dt_serial:.2f}", flush=True)
 
 t0 = time.perf_counter()
-out_b = api.inverse_render(pipe, image, batch_passes=True)
+out_b = api.inverse_render(pipe, image2, batch_passes=True)
 dt_batched_compile = time.perf_counter() - t0
 t0 = time.perf_counter()
-out_b = api.inverse_render(pipe, image, batch_passes=True)
+out_b = api.inverse_render(pipe, image3, batch_passes=True)
 dt_batched = time.perf_counter() - t0
 for k, v in out_b.items():
     print(f"  {k}: {v.shape} {v.dtype} mean={v.mean():.4f}")
