@@ -82,17 +82,34 @@ def quantize_dit_params(params: Dict[str, Any],
 
 
 def quantize_tensor_host(w, act_quant: bool = False) -> Dict[str, Any]:
-    """Numpy (host-side) variant of quantize_tensor — used during checkpoint
+    """Host-side variant of quantize_tensor — used during checkpoint
     conversion so no fp32 device temporaries are created while the bf16
-    weights are resident (that transient OOMs a 16 GB chip)."""
-    import numpy as np
+    weights are resident (that transient OOMs a 16 GB chip).
 
-    wf = np.asarray(w, np.float32)
-    amax = np.max(np.abs(wf), axis=-2, keepdims=True)
-    scale = np.maximum(amax / 127.0, 1e-12)
-    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
-    return {"q": jnp.asarray(q),
-            ("sa" if act_quant else "s"): jnp.asarray(scale.squeeze(-2))}
+    The math runs through torch, not numpy: per-channel quantization of the
+    7B weight set touches ~6.7G elements, and this class of host runs
+    numpy's elementwise kernels orders of magnitude slower than torch's
+    vectorized path (see utils/hostops.py).  numpy cannot hold bf16, so
+    bf16 inputs round-trip bit-wise through int16."""
+    import ml_dtypes
+    import numpy as np
+    import torch
+
+    from ..utils import hostops  # noqa: F401  (non-writable-input warning filter)
+
+    arr = np.ascontiguousarray(np.asarray(w))
+    if arr.dtype == ml_dtypes.bfloat16:
+        t = torch.from_numpy(arr.view(np.int16)).view(torch.bfloat16)
+        t = t.to(torch.float32)
+    else:
+        t = torch.from_numpy(arr)
+        if t.dtype != torch.float32:
+            t = t.to(torch.float32)
+    amax = t.abs().amax(dim=-2, keepdim=True)
+    scale = torch.clamp(amax / 127.0, min=1e-12)
+    q = torch.round(t / scale).clamp_(-127.0, 127.0).to(torch.int8)
+    return {"q": jnp.asarray(q.numpy()),
+            ("sa" if act_quant else "s"): jnp.asarray(scale.squeeze(-2).numpy())}
 
 
 def dense_maybe_quantized(x: jax.Array, w: Any) -> jax.Array:
