@@ -38,6 +38,31 @@ class TestQuantizeTensor:
         wq = quantize_tensor(w)
         np.testing.assert_array_equal(np.asarray(wq["q"]), 0)
 
+    def test_host_matches_device(self):
+        """The torch-backed host path (checkpoint conversion) must produce
+        the exact same int8 codes and scales as the jax device path, for
+        both bf16 and fp32 inputs."""
+        from diffusionrenderer_tpu.models.quant import quantize_tensor_host
+
+        w = jax.random.normal(jax.random.key(3), (2, 48, 32)) * 0.3
+        for act_quant in (False, True):
+            skey = "sa" if act_quant else "s"
+            dev = quantize_tensor(w, act_quant=act_quant)
+            host_f32 = quantize_tensor_host(np.asarray(w, np.float32),
+                                            act_quant=act_quant)
+            np.testing.assert_array_equal(
+                np.asarray(host_f32["q"]), np.asarray(dev["q"]))
+            np.testing.assert_allclose(
+                np.asarray(host_f32[skey]), np.asarray(dev[skey]), rtol=1e-6)
+            wb = w.astype(jnp.bfloat16)
+            host_bf16 = quantize_tensor_host(wb, act_quant=act_quant)
+            dev_bf16 = quantize_tensor(wb, act_quant=act_quant)
+            np.testing.assert_array_equal(
+                np.asarray(host_bf16["q"]), np.asarray(dev_bf16["q"]))
+            np.testing.assert_allclose(
+                np.asarray(host_bf16[skey]), np.asarray(dev_bf16[skey]),
+                rtol=1e-6)
+
 
 class TestQuantizedModel:
     def test_memory_halved(self):
