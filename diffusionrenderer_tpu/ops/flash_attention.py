@@ -36,6 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 # exp2, sum) over the L x L tiles.
 DEFAULT_BLOCK_Q = 1408
 DEFAULT_BLOCK_K = 1408
+# In-body exp2->PV interleave factor for the no-shift kernel (see
+# _flash_kernel_noshift): >1 splits each score tile's query axis into that
+# many independent VPU->MXU chains so the scheduler can overlap chunk c's
+# PV matmul with chunk c+1's exp2.  Measured at the flagship shape
+# (L=28160, H=32, D=128, blocks 1408x1408): 1 -> 120.2 ms, 2 -> 114.3,
+# 4 -> 113.5 (best), 8 -> 116.6.  Bench-tunable via scripts/bench_attn.py
+# --chunks; numerics are identical for any value.
+NOSHIFT_VPU_CHUNKS = 4
 _NEG_INF = -1e30
 
 
@@ -169,7 +177,7 @@ def _flash_kernel_bounded(*refs, has_bias: bool):
         ).astype(o_ref.dtype)
 
 
-def _flash_kernel_noshift(*refs, has_bias: bool):
+def _flash_kernel_noshift(*refs, has_bias: bool, n_chunks: int = 1):
     """Flash attention with NO exponent shift at all: p = exp2(s).
 
     Valid whenever the precomputed global score bound guarantees exp2(s),
@@ -181,6 +189,15 @@ def _flash_kernel_noshift(*refs, has_bias: bool):
     operand).  Within the DiT's RMS-normed q/k envelope the bound is
     ~16 log2 units, far under the fp32 limit, so this is the branch that
     actually runs.
+
+    n_chunks > 1 splits the score tile's QUERY axis into independent
+    exp2 -> PV chains inside one grid step, so the scheduler can overlap
+    chunk c's PV matmul (MXU) with chunk c+1's exp2 (VPU) without any
+    persistent scratch (the cross-grid-step scratch pipeline is a measured
+    dead end — NOTES.md item 2).  Row chunks keep the PV contraction dim
+    full (block_k), slice on the sublane axis (8-aligned, vs the lane
+    axis's 128 constraint), and write disjoint accumulator rows — the
+    chains share nothing.  Numerics identical to n_chunks=1.
     """
     it = iter(refs)
     q_ref, k_ref, v_ref = (next(it) for _ in range(3))
@@ -203,16 +220,32 @@ def _flash_kernel_noshift(*refs, has_bias: bool):
     if has_bias:
         s = s + bias_ref[0][None, :]
 
-    p = jnp.exp2(s)
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    l_ref[...] = l_ref[...] + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
-    )
-    acc_ref[...] = acc_ref[...] + pv
+    block_q = s.shape[0]
+    v_all = v_ref[0]
+    cq = block_q // n_chunks if n_chunks > 1 else block_q
+    if n_chunks > 1 and block_q % n_chunks == 0 and cq % 8 == 0:
+        for c in range(n_chunks):
+            r0, r1 = c * cq, (c + 1) * cq
+            p_c = jnp.exp2(s[r0:r1, :])
+            pv_c = jax.lax.dot_general(
+                p_c.astype(v_all.dtype), v_all, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_c = jnp.sum(p_c, axis=-1, keepdims=True)
+            l_ref[r0:r1, :] = l_ref[r0:r1, :] + jnp.broadcast_to(
+                l_c, (cq, l_ref.shape[1])
+            )
+            acc_ref[r0:r1, :] = acc_ref[r0:r1, :] + pv_c
+    else:
+        p = jnp.exp2(s)
+        pv = jax.lax.dot_general(
+            p.astype(v_all.dtype), v_all, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l_ref[...] = l_ref[...] + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+        )
+        acc_ref[...] = acc_ref[...] + pv
 
     @pl.when(kv_idx == num_kv - 1)
     def _finalize():
@@ -426,7 +459,8 @@ def _bounded_cond_call(q, inputs, in_specs, b, h, lq, lq_pad, lk_pad,
 
     def noshift():
         return pl.pallas_call(
-            functools.partial(_flash_kernel_noshift, has_bias=has_bias),
+            functools.partial(_flash_kernel_noshift, has_bias=has_bias,
+                              n_chunks=NOSHIFT_VPU_CHUNKS),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=0, grid=grid, in_specs=ns_specs,
                 out_specs=out_specs, scratch_shapes=scratch()),

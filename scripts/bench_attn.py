@@ -30,9 +30,14 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--blocks", type=str, default="1408,1408")
     ap.add_argument("--mode", type=str, default="bf16")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="no-shift kernel in-body exp2->PV interleave factor")
     args = ap.parse_args()
 
+    from diffusionrenderer_tpu.ops import flash_attention as fa_mod
     from diffusionrenderer_tpu.ops.flash_attention import flash_attention
+
+    fa_mod.NOSHIFT_VPU_CHUNKS = args.chunks
 
     bq, bk = (int(x) for x in args.blocks.split(","))
     l, h, d = args.l, args.heads, args.d
@@ -68,7 +73,8 @@ def main():
         np.asarray(out[0, -1, -1, -1])  # force fetch
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    print(f"mode={args.mode} blocks=({bq},{bk}) L={l} H={h} D={d}: "
+    print(f"mode={args.mode} blocks=({bq},{bk}) chunks={args.chunks} "
+          f"L={l} H={h} D={d}: "
           f"{dt*1e3:.1f} ms, {flops/dt/1e12:.1f} TFLOP/s "
           f"({flops/dt/1e12/197*100:.0f}% of bf16 peak)")
 
