@@ -34,14 +34,19 @@ from jax.experimental.pallas import tpu as pltpu
 # measured ~2% slower than fp32; (2048+, 1408+) tiles fail to compile
 # (VMEM).  Remaining gap to peak is the fp32 softmax VPU passes (max,
 # exp2, sum) over the L x L tiles.
-DEFAULT_BLOCK_Q = 1408
-DEFAULT_BLOCK_K = 1408
+# Tall-KV tiles + query chunking measured fastest at the flagship shape
+# (L=28160, H=32, D=128), same-day sweep: (1408,1408) 120.2 ms ->
+# chunks=4 113.5 -> (704,2816)+chunks=4 109.0 ms (60% MFU; neighbors
+# (352,2816) 129.6, (704,3520) 115.9, (704,2560) 115.7, chunks 2/8 at
+# this shape 117.5/121.1).  The score tile stays 7.9 MB fp32 either way;
+# the win is fewer grid steps on the KV axis (10 vs 20) amortizing each
+# tile's prologue over more MXU work.
+DEFAULT_BLOCK_Q = 704
+DEFAULT_BLOCK_K = 2816
 # In-body exp2->PV interleave factor for the no-shift kernel (see
 # _flash_kernel_noshift): >1 splits each score tile's query axis into that
 # many independent VPU->MXU chains so the scheduler can overlap chunk c's
-# PV matmul with chunk c+1's exp2.  Measured at the flagship shape
-# (L=28160, H=32, D=128, blocks 1408x1408): 1 -> 120.2 ms, 2 -> 114.3,
-# 4 -> 113.5 (best), 8 -> 116.6.  Bench-tunable via scripts/bench_attn.py
+# PV matmul with chunk c+1's exp2.  Bench-tunable via scripts/bench_attn.py
 # --chunks; numerics are identical for any value.
 NOSHIFT_VPU_CHUNKS = 4
 _NEG_INF = -1e30
@@ -501,6 +506,17 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
         # keep the fp32 accumulator + p tile inside the ~16 MB VMEM budget.
         block_q = min(block_q, 1024)
         block_k = min(block_k, 512)
+
+    def _balance(block: int, l: int) -> int:
+        # Rebalance so the tile count stays the same but padding waste goes
+        # away: e.g. lq=1024 with block 704 would pad to 2x704 (37% dead
+        # rows); two 512 tiles cover it exactly.  Exact divisors (the
+        # flagship 28160 = 40x704) are returned unchanged.
+        ntiles = -(-l // block)
+        return min(block, _round_up(-(-l // ntiles), 128))
+
+    block_q = _balance(block_q, lq)
+    block_k = _balance(block_k, lk)
 
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
