@@ -145,6 +145,19 @@ class TestFlashAttention:
         tol = 0.012 if mode == "qk8" else 0.025
         assert np.abs(got - expected).max() < tol
 
+    def test_default_blocks_rebalance_chunked(self):
+        """Default (704, 2816) blocks at L=1024: _flash_call's balancing
+        turns the 704 q-block into two exact 512 tiles (no padding waste)
+        and the no-shift body runs its 4-way query-chunked exp2->PV loop
+        (NOSHIFT_VPU_CHUNKS=4, cq=128) — must match the oracle exactly."""
+        q, k, v = make_qkv(1, 1024, 2, 128, seed=11)
+        q, k = q * 0.1, k * 0.1  # stay inside the no-shift envelope
+        expected = np.asarray(attention_xla(q, k, v))
+        got = np.asarray(
+            flash_attention(q, k, v, interpret=True, bounded=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
     def test_wide_single_head_512(self):
         """The VAE's single-head C=512 attention path."""
         b, l, h, d = 2, 300, 1, 512
