@@ -194,7 +194,8 @@ def make_hybrid_mesh(
             f"hybrid mesh {dcn_data}x({data}x{seq}x{tensor}) needs "
             f"{dcn_data * per_slice} devices, {len(devices)} visible"
         )
-    if hasattr(devices[0], "slice_index"):
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slice_ids and len(slice_ids) == dcn_data:
         # Real multi-slice TPU: topology-aware placement (DCN outermost).
         devs = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(data, seq, tensor),
@@ -202,8 +203,12 @@ def make_hybrid_mesh(
             devices=devices,
         )
     else:
-        # CPU/test devices carry no slice topology: contiguous groups of
-        # per_slice devices stand in for slices (same shape + axis order).
+        # No real slice topology matching the request — CPU test devices, or
+        # multi-process CPU where every device reports slice 0 (discovered
+        # by tests/test_multiprocess.py: hasattr(slice_index) alone is NOT a
+        # multi-slice signal).  Contiguous groups of per_slice devices stand
+        # in for slices; jax.devices() orders by process, so on multi-process
+        # CPU each group == one process == one modeled DCN domain.
         devs = np.asarray(devices).reshape(
             dcn_data, data, seq, tensor
         ).reshape(dcn_data * data, seq, tensor)
