@@ -101,6 +101,32 @@ with mesh:
     got = jax.device_get(fwd(gparams, gx, gcond))
 np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
+# --- 3. a training step: the gradient psum over the data axis is the one
+# collective a real multi-slice deployment routes over DCN.  Loss is
+# replicated; both processes must fetch the identical finite value, and the
+# fixed-draw objective must descend.
+from diffusionrenderer_tpu.training import (
+    init_train_state, make_optimizer, make_train_step,
+)
+
+gparams2 = jax.tree.map(globalize, params, dit_param_shardings(params, mesh))
+opt = make_optimizer(1e-3)
+with mesh:
+    state = init_train_state(gparams2, opt)
+step = make_train_step(
+    cfg, opt, condition_drop_rate=0.1,
+    seq_sharding_constraint=constraint,
+)
+batch = {"latents": gx, "latent_condition": gcond, "context_index": ctx}
+losses = []
+with mesh:
+    for _ in range(3):
+        state, loss = step(state, batch, jax.random.key(0))
+        losses.append(float(jax.device_get(loss)))
+assert all(np.isfinite(l) for l in losses), losses
+assert losses[-1] < losses[0], losses
+print(f"TRAIN_LOSSES {losses}", flush=True)
+
 print(f"MULTIPROC_OK process={jax.process_index()}", flush=True)
 '''
 
@@ -133,3 +159,12 @@ def test_two_process_hybrid_mesh_matches_local():
             f"child {i} rc={rc}\nstdout:\n{out}\nstderr:\n{err[-3000:]}"
         )
         assert f"MULTIPROC_OK process={i}" in out
+
+    # The replicated loss must be bit-identical on both processes — each
+    # only computed its own data shard; agreement proves the cross-process
+    # gradient reduction actually synchronized them.
+    loss_lines = [
+        next(l for l in out.splitlines() if l.startswith("TRAIN_LOSSES"))
+        for _, out, _ in outs
+    ]
+    assert loss_lines[0] == loss_lines[1], loss_lines
