@@ -127,19 +127,40 @@ assert all(np.isfinite(l) for l in losses), losses
 assert losses[-1] < losses[0], losses
 print(f"TRAIN_LOSSES {losses}", flush=True)
 
+# --- 4. distributed checkpoint/resume: a COLLECTIVE orbax save of the
+# sharded post-training params (each process writes its addressable
+# shards), then a sharded restore onto the same mesh — the multi-host
+# resume path of a real deployment.
+from diffusionrenderer_tpu.checkpoint import restore_native, save_native
+
+trained = state.params
+save_native(sys.argv[4], trained)
+restored = jax.tree.map(lambda x: x, restore_native(sys.argv[4], like=trained))
+diff = jax.jit(
+    lambda a, b: jax.tree.reduce(
+        jnp.maximum,
+        jax.tree.map(lambda x, y: jnp.max(jnp.abs(x - y)), a, b),
+    ),
+    out_shardings=NamedSharding(mesh, P()),
+)(restored, trained)
+assert float(jax.device_get(diff)) == 0.0, float(jax.device_get(diff))
+print("CKPT_ROUNDTRIP_OK", flush=True)
+
 print(f"MULTIPROC_OK process={jax.process_index()}", flush=True)
 '''
 
 
-def test_two_process_hybrid_mesh_matches_local():
+def test_two_process_hybrid_mesh_matches_local(tmp_path):
     port = 20000 + os.getpid() % 10000
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # children set their own 4-device count
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = _REPO
+    ckpt_dir = str(tmp_path / "ckpt")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _CHILD, str(i), str(port), _REPO],
+            [sys.executable, "-c", _CHILD, str(i), str(port), _REPO,
+             ckpt_dir],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
         )
@@ -159,6 +180,7 @@ def test_two_process_hybrid_mesh_matches_local():
             f"child {i} rc={rc}\nstdout:\n{out}\nstderr:\n{err[-3000:]}"
         )
         assert f"MULTIPROC_OK process={i}" in out
+        assert "CKPT_ROUNDTRIP_OK" in out
 
     # The replicated loss must be bit-identical on both processes — each
     # only computed its own data shard; agreement proves the cross-process
