@@ -195,7 +195,10 @@ def export_dit_state_dict(params: Params, cfg: DiTConfig) -> Dict[str, np.ndarra
 
     def put(name: str, arr, transpose=True):
         a = np.asarray(jnp.asarray(arr, jnp.float32))
-        out["net." + name] = a.T if transpose else a
+        # ascontiguousarray: safetensors' save_file serializes the raw
+        # buffer, so a strided .T view would export transposed-content
+        # garbage (caught by test_cli.py::test_convert_to_native_and_load).
+        out["net." + name] = np.ascontiguousarray(a.T) if transpose else a
 
     put("x_embedder.proj.1.weight", params["x_embedder"]["weight"])
     if "bias" in params["x_embedder"]:
@@ -251,6 +254,15 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     return sd
 
 
+def is_native_checkpoint(path: str) -> bool:
+    """True if `path` is an orbax checkpoint directory written by
+    save_native (detected by orbax's own metadata files)."""
+    return os.path.isdir(path) and any(
+        os.path.exists(os.path.join(path, marker))
+        for marker in ("_CHECKPOINT_METADATA", "manifest.ocdbt")
+    )
+
+
 def load_dit_checkpoint(
     path: str,
     cfg: DiTConfig,
@@ -258,7 +270,16 @@ def load_dit_checkpoint(
     quantize_int8: bool = False,
     act_quant: bool = False,
 ) -> Params:
-    """Load + convert a reference checkpoint from disk."""
+    """Load a DiT checkpoint from disk.
+
+    Torch `.pt`/safetensors files are converted (and optionally quantized)
+    on load; a native orbax directory (produced by `save_native` / the CLI
+    `convert` subcommand) restores directly — the convert-once path, so
+    serving starts skip the torch parse + transpose + host quantization.
+    Quantization flags are ignored for native checkpoints: the saved pytree
+    self-describes (int8 'q' + scale leaves)."""
+    if is_native_checkpoint(path):
+        return restore_native(path)
     return convert_dit_state_dict(
         load_torch_file(path), cfg, dtype, quantize_int8=quantize_int8,
         act_quant=act_quant,

@@ -195,8 +195,12 @@ def convert_diffusers_vae_state_dict(
 def load_vae_checkpoint(
     path: str, cfg: VAEConfig, dtype: jnp.dtype = jnp.bfloat16
 ) -> Params:
-    """Load a VAE checkpoint — native flat file, diffusers directory, or
-    diffusers safetensors file."""
+    """Load a VAE checkpoint — orbax native directory, native flat file,
+    diffusers directory, or diffusers safetensors file."""
+    from .checkpoint import is_native_checkpoint, restore_native
+
+    if is_native_checkpoint(path):
+        return restore_native(path)
     if os.path.isdir(path):
         import json
 

@@ -75,25 +75,31 @@ def _save_frames(arr: np.ndarray, out: str) -> None:
         print(f"wrote {arr8.shape[0]} frames to {base}_*.png")
 
 
+def _tiny_configs(model_type: str):
+    """Smoke-test mode: scaled-down architecture (random weights unless a
+    matching tiny checkpoint is passed)."""
+    from .config import DiTConfig, VAEConfig
+
+    net_config = DiTConfig(
+        model_channels=48, num_blocks=2, num_heads=2, adaln_lora_dim=8,
+        crossattn_emb_channels=16,
+        additional_concat_ch=16 if model_type == "inverse" else 17 * 8,
+        use_context_embedding=model_type == "inverse",
+    )
+    vae_config = VAEConfig(
+        encoder_block_out_channels=(8, 12, 16, 16),
+        decode_block_out_channels=(12, 16, 16, 16), num_layers=1,
+    )
+    return net_config, vae_config
+
+
 def _build_pipeline(args, model_type: str):
     from .api import load_pipeline
 
     net_config = vae_config = None
     compute_dtype = "bfloat16"
     if getattr(args, "tiny", False):
-        # Smoke-test mode: scaled-down architecture, random weights.
-        from .config import DiTConfig, VAEConfig
-
-        net_config = DiTConfig(
-            model_channels=48, num_blocks=2, num_heads=2, adaln_lora_dim=8,
-            crossattn_emb_channels=16,
-            additional_concat_ch=16 if model_type == "inverse" else 17 * 8,
-            use_context_embedding=model_type == "inverse",
-        )
-        vae_config = VAEConfig(
-            encoder_block_out_channels=(8, 12, 16, 16),
-            decode_block_out_channels=(12, 16, 16, 16), num_layers=1,
-        )
+        net_config, vae_config = _tiny_configs(model_type)
         compute_dtype = "float32"
     return load_pipeline(
         dit_checkpoint=args.checkpoint,
@@ -162,6 +168,48 @@ def cmd_envmap(args) -> None:
     )
     for name in ("env_ldr", "env_log"):
         _save_frames(np.asarray(env[name]), f"{args.output_prefix}_{name}.png")
+
+
+def cmd_convert(args) -> None:
+    """Convert torch/diffusers checkpoints to native orbax directories.
+
+    Convert once at deployment time; every later load_pipeline /
+    serving start restores the native pytree directly — no torch parse,
+    no (out,in)->(in,out) transposes, no host quantization at boot.
+    Quantization is baked into the saved tree (the int8 'q' + scale
+    leaves self-describe on restore)."""
+    import jax.numpy as jnp
+
+    from .checkpoint import load_dit_checkpoint, save_native
+    from .checkpoint_vae import load_vae_checkpoint
+    from .config import DiTConfig, VAEConfig
+
+    if not args.dit and not args.vae:
+        raise SystemExit("convert: pass --dit and/or --vae")
+    os.makedirs(args.out, exist_ok=True)
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    if args.dit:
+        if args.tiny:
+            cfg, _ = _tiny_configs(args.model_type)
+        elif args.model_type == "inverse":
+            cfg = DiTConfig(additional_concat_ch=16,
+                            use_context_embedding=True)
+        else:
+            cfg = DiTConfig(additional_concat_ch=17 * 8,
+                            use_context_embedding=False)
+        params = load_dit_checkpoint(
+            args.dit, cfg, dtype,
+            quantize_int8=args.int8 or args.w8a8, act_quant=args.w8a8,
+        )
+        out = os.path.join(args.out, "dit")
+        save_native(out, params)
+        print(f"wrote {out}")
+    if args.vae:
+        vcfg = _tiny_configs(args.model_type)[1] if args.tiny else VAEConfig()
+        vae_params = load_vae_checkpoint(args.vae, vcfg, dtype)
+        out = os.path.join(args.out, "vae")
+        save_native(out, vae_params)
+        print(f"wrote {out}")
 
 
 def cmd_info(args) -> None:
@@ -238,6 +286,26 @@ def main(argv: Optional[List[str]] = None) -> None:
     se.add_argument("--env-rotation", type=float, default=180.0)
     se.add_argument("--direct", action="store_true")
     se.set_defaults(fn=cmd_envmap)
+
+    sc = sub.add_parser(
+        "convert",
+        help="torch/diffusers checkpoints -> native orbax (convert once, "
+             "load fast; quantization baked in)",
+    )
+    sc.add_argument("--dit", default=None,
+                    help="DiT checkpoint (.pt/.safetensors)")
+    sc.add_argument("--vae", default=None,
+                    help="VAE checkpoint (diffusers dir/safetensors)")
+    sc.add_argument("--model-type", dest="model_type", default="inverse",
+                    choices=["inverse", "forward"])
+    sc.add_argument("--int8", action="store_true",
+                    help="bake weight-only int8 quantization")
+    sc.add_argument("--w8a8", action="store_true",
+                    help="bake int8 weights + runtime-int8-activation marks")
+    sc.add_argument("--tiny", action="store_true",
+                    help="tiny architecture (matching --tiny checkpoints)")
+    sc.add_argument("--out", required=True, help="output directory")
+    sc.set_defaults(fn=cmd_convert)
 
     so = sub.add_parser("info", help="environment + preset info")
     so.set_defaults(fn=cmd_info)

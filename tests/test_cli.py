@@ -60,3 +60,55 @@ class TestCLI:
             "--output", out,
         ])
         assert os.path.exists(out)
+
+    def test_convert_to_native_and_load(self, tmp_path):
+        """convert: torch-format DiT -> quantized native orbax dir; the
+        native dir then loads through the normal --checkpoint path (no
+        torch parse / re-quantization at boot)."""
+        import jax
+        import jax.numpy as jnp
+        from safetensors.numpy import save_file
+
+        from diffusionrenderer_tpu.checkpoint import (
+            convert_dit_state_dict, export_dit_state_dict,
+            load_dit_checkpoint,
+        )
+        from diffusionrenderer_tpu.cli import _tiny_configs
+        from diffusionrenderer_tpu.models.dit import init_dit_params
+
+        cfg, _ = _tiny_configs("inverse")
+        params = init_dit_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        flat = export_dit_state_dict(params, cfg)
+        st = str(tmp_path / "tiny_dit.safetensors")
+        save_file(flat, st)
+
+        out_dir = str(tmp_path / "native")
+        main(["convert", "--tiny", "--dit", st, "--w8a8", "--out", out_dir])
+
+        native = load_dit_checkpoint(
+            os.path.join(out_dir, "dit"), cfg, jnp.float32
+        )
+        expected = convert_dit_state_dict(
+            flat, cfg, jnp.float32, quantize_int8=True, act_quant=True
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            native, expected,
+        )
+
+        # The native dir drives the pipeline end to end via --checkpoint.
+        inv_dir = str(tmp_path / "inv")
+        import imageio.v3 as iio
+
+        rng = np.random.default_rng(1)
+        in_png = str(tmp_path / "in.png")
+        iio.imwrite(in_png,
+                    (rng.uniform(size=(16, 16, 3)) * 255).astype(np.uint8))
+        main([
+            "inverse", "--tiny", "--steps", "1", "--passes", "depth",
+            "--checkpoint", os.path.join(out_dir, "dit"),
+            "--input", in_png, "--output-dir", inv_dir,
+        ])
+        assert os.path.exists(os.path.join(inv_dir, "depth.png"))
