@@ -112,3 +112,39 @@ class TestCLI:
             "--input", in_png, "--output-dir", inv_dir,
         ])
         assert os.path.exists(os.path.join(inv_dir, "depth.png"))
+
+    def test_convert_vae_to_native_and_load(self, tmp_path):
+        """convert --vae: diffusers-format safetensors -> native orbax dir,
+        restored tree equals the direct conversion."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+        from safetensors.numpy import save_file
+        from torch_vae_oracle import oracle_from_vae_config
+
+        from diffusionrenderer_tpu.checkpoint_vae import (
+            convert_diffusers_vae_state_dict, load_vae_checkpoint,
+        )
+        from diffusionrenderer_tpu.cli import _tiny_configs
+
+        _, vcfg = _tiny_configs("inverse")
+        torch.manual_seed(0)
+        oracle = oracle_from_vae_config(vcfg)
+        sd = {k: np.ascontiguousarray(v.detach().numpy())
+              for k, v in oracle.state_dict().items()}
+        st = str(tmp_path / "tiny_vae.safetensors")
+        save_file(sd, st)
+
+        out_dir = str(tmp_path / "native")
+        main(["convert", "--tiny", "--vae", st, "--out", out_dir])
+
+        native = load_vae_checkpoint(
+            os.path.join(out_dir, "vae"), vcfg, jnp.float32
+        )
+        expected = convert_diffusers_vae_state_dict(sd, vcfg, jnp.float32)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            native, expected,
+        )
