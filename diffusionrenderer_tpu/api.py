@@ -56,7 +56,9 @@ def load_pipeline(
     ref: nodes.py:61-127; defaults guidance=0.0 / num_steps=15 / seed=42
     match nodes.py:123-125).
 
-    With checkpoint paths: loads + converts the torch weights.  Without:
+    With checkpoint paths: loads + converts the torch weights, or restores
+    a native orbax directory produced by the CLI `convert` subcommand
+    directly (quantization baked in — the production boot path).  Without:
     random-initialized weights at the given model_type's architecture (for
     testing and benchmarking).
     """
