@@ -1,0 +1,53 @@
+"""End-to-end long-video inverse pass: 121 frames @ 704x1280, one chip.
+
+The reference implicitly caps at 57 frames (single-GPU memory for the
+28,160-token attention); this framework's flash kernel + staged pipeline
+run 2x that sequence (latent T=16 -> 56,320 tokens) on one v5e under W8A8.
+The DiT step alone measures 11.66 s at 179.3 TFLOP/s (BASELINE.md); this
+script proves the FULL pipeline — 121-frame causal VAE encode, 15-step
+denoise, chunked decode, host readback — fits and measures the wall.
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import gc
+import json
+import time
+
+import jax, jax.numpy as jnp, numpy as np
+import torch
+
+from bench import _init_bf16
+from diffusionrenderer_tpu.config import DiTConfig, VAEConfig
+from diffusionrenderer_tpu.models.vae import init_vae_params
+from diffusionrenderer_tpu.pipeline import DiffusionRendererPipeline
+from diffusionrenderer_tpu.utils.profiling import metrics
+import logging; logging.basicConfig(level=logging.INFO)
+
+T = 121
+
+net = DiTConfig()
+# Weight-only int8, NOT w8a8: the runtime activation-quant path costs
+# +2.06 GiB of temp at 56,320 tokens (measured memory_analysis: 8.19 vs
+# 6.13 GiB), which pushes the denoise program over HBM next to the 6.74 GiB
+# weights + VAE + pixel buffers.  w8 fits: ~13.7 GiB total.
+dit = _init_bf16(net, jax.random.key(0), jnp.bfloat16, quant="w8")
+vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
+pipe = DiffusionRendererPipeline(dit, vae, model_type="inverse", num_steps=15)
+pipe.decode_chunk_frames = 2  # latent frames per decode dispatch at T_lat=16
+
+video = torch.randint(0, 256, (1, T, 704, 1280, 3), dtype=torch.uint8,
+                      generator=torch.Generator().manual_seed(2)).numpy()
+t0 = time.perf_counter()
+out = pipe.generate({"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)},
+                    seed=42)
+print(f"E2E_LONGVIDEO_COMPILE_AND_RUN_S {time.perf_counter()-t0:.1f} "
+      f"out={out.shape} {out.dtype}", flush=True)
+del out
+gc.collect()
+time.sleep(30)
+t0 = time.perf_counter()
+out = pipe.generate({"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)},
+                    seed=43)
+dt = time.perf_counter() - t0
+print(f"E2E_LONGVIDEO_STEADY_S {dt:.1f}  ({T} frames @ 704x1280, "
+      f"{T/dt:.3f} frames/s/chip, 56,320-token denoise)", flush=True)
+print(json.dumps(metrics.summary(), indent=1), flush=True)
