@@ -150,13 +150,11 @@ print(f"MULTIPROC_OK process={jax.process_index()}", flush=True)
 '''
 
 
-def test_two_process_hybrid_mesh_matches_local(tmp_path):
-    port = 20000 + os.getpid() % 10000
+def _run_children(port: int, ckpt_dir: str):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # children set their own 4-device count
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = _REPO
-    ckpt_dir = str(tmp_path / "ckpt")
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _CHILD, str(i), str(port), _REPO,
@@ -175,6 +173,17 @@ def test_two_process_hybrid_mesh_matches_local(tmp_path):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return outs
+
+
+def test_two_process_hybrid_mesh_matches_local(tmp_path):
+    port = 20000 + os.getpid() % 10000
+    outs = _run_children(port, str(tmp_path / "ckpt"))
+    if any(rc != 0 and "address" in (err or "").lower()
+           for rc, _, err in outs):
+        # Coordinator port collision with another process on this host:
+        # one retry on a different port before declaring failure.
+        outs = _run_children(port + 1, str(tmp_path / "ckpt2"))
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, (
             f"child {i} rc={rc}\nstdout:\n{out}\nstderr:\n{err[-3000:]}"
