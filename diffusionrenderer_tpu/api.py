@@ -16,6 +16,7 @@ reference nodes (ref: nodes.py:154-179).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -62,7 +63,26 @@ def load_pipeline(
     random-initialized weights at the given model_type's architecture (for
     testing and benchmarking).
     """
-    from .checkpoint import load_dit_checkpoint
+    from .checkpoint import is_native_checkpoint, load_dit_checkpoint
+
+    if dit_checkpoint is not None and is_native_checkpoint(dit_checkpoint):
+        # CLI `convert` writes a sidecar next to the dit/vae dirs; use it
+        # to fail fast on a model-type mismatch (a forward checkpoint under
+        # model_type="inverse" would otherwise surface as an opaque shape
+        # error at trace time).
+        meta_path = os.path.join(os.path.dirname(os.path.abspath(
+            dit_checkpoint)), "convert_meta.json")
+        if os.path.exists(meta_path):
+            import json as _json
+
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            if meta.get("model_type") and meta["model_type"] != model_type:
+                raise ValueError(
+                    f"native checkpoint {dit_checkpoint} was converted for "
+                    f"model_type={meta['model_type']!r} but load_pipeline "
+                    f"was called with model_type={model_type!r}"
+                )
 
     if net_config is not None:
         net_cfg = net_config

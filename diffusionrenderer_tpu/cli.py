@@ -210,6 +210,16 @@ def cmd_convert(args) -> None:
         out = os.path.join(args.out, "vae")
         save_native(out, vae_params)
         print(f"wrote {out}")
+    # Sidecar metadata: load_pipeline reads this to fail fast on a
+    # model-type mismatch (otherwise a forward checkpoint loaded as
+    # "inverse" only surfaces as a confusing shape error at trace time).
+    meta = {
+        "model_type": args.model_type,
+        "quant": "w8a8" if args.w8a8 else ("w8" if args.int8 else None),
+        "tiny": bool(args.tiny),
+    }
+    with open(os.path.join(args.out, "convert_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
 
 
 def cmd_info(args) -> None:

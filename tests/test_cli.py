@@ -113,6 +113,14 @@ class TestCLI:
         ])
         assert os.path.exists(os.path.join(inv_dir, "depth.png"))
 
+        # The convert sidecar makes a model-type mismatch fail fast at
+        # load time, not as a shape error at trace time.
+        from diffusionrenderer_tpu.api import load_pipeline
+
+        with pytest.raises(ValueError, match="model_type"):
+            load_pipeline(dit_checkpoint=os.path.join(out_dir, "dit"),
+                          model_type="forward")
+
     def test_convert_vae_to_native_and_load(self, tmp_path):
         """convert --vae: diffusers-format safetensors -> native orbax dir,
         restored tree equals the direct conversion."""
