@@ -35,6 +35,24 @@ class TestOrbaxDiT:
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_native_detection(self, tmp_path):
+        """is_native_checkpoint: true only for orbax dirs — a diffusers-style
+        weights directory must fall through to the converter path."""
+        from diffusionrenderer_tpu.checkpoint import is_native_checkpoint
+
+        params = init_dit_params(jax.random.key(0), TINY_NET, dtype=jnp.float32)
+        path = str(tmp_path / "ckpt")
+        save_native(path, params)
+        assert is_native_checkpoint(path)
+
+        diffusers_dir = tmp_path / "hf"
+        diffusers_dir.mkdir()
+        (diffusers_dir / "diffusion_pytorch_model.safetensors").write_bytes(b"")
+        (diffusers_dir / "config.json").write_text("{}")
+        assert not is_native_checkpoint(str(diffusers_dir))
+        assert not is_native_checkpoint(str(tmp_path / "missing"))
+        assert not is_native_checkpoint(str(diffusers_dir / "config.json"))
+
 
 class TestNativeVAEFormat:
     def test_flat_safetensors_roundtrip(self, tmp_path):
