@@ -213,12 +213,32 @@ def cmd_convert(args) -> None:
     # Sidecar metadata: load_pipeline reads this to fail fast on a
     # model-type mismatch (otherwise a forward checkpoint loaded as
     # "inverse" only surfaces as a confusing shape error at trace time).
-    meta = {
-        "model_type": args.model_type,
-        "quant": "w8a8" if args.w8a8 else ("w8" if args.int8 else None),
-        "tiny": bool(args.tiny),
-    }
-    with open(os.path.join(args.out, "convert_meta.json"), "w") as f:
+    # model_type describes the DIT tree only (the VAE is model-agnostic),
+    # so a --vae-only convert must not stamp it — and a second convert into
+    # the same --out merges rather than clobbering, refusing on conflict.
+    meta = {"tiny": bool(args.tiny)}
+    if args.dit:
+        meta["model_type"] = args.model_type
+        meta["quant"] = "w8a8" if args.w8a8 else ("w8" if args.int8 else None)
+    meta_path = os.path.join(args.out, "convert_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prior = json.load(f)
+        conflicts = {
+            k: (prior[k], meta[k])
+            for k in meta
+            if k in prior and prior[k] is not None and prior[k] != meta[k]
+        }
+        if conflicts:
+            raise SystemExit(
+                f"convert: {meta_path} already records "
+                + ", ".join(f"{k}={old!r} (requested {new!r})"
+                            for k, (old, new) in conflicts.items())
+                + " — converting a different model into the same --out "
+                "would corrupt the sidecar; use a fresh directory"
+            )
+        meta = {**prior, **meta}
+    with open(meta_path, "w") as f:
         json.dump(meta, f, indent=1)
 
 

@@ -499,6 +499,13 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
     lk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
 
+    # None = "use the tuned default and auto-rebalance".  Caller-provided
+    # sizes are honored as-is (block sweeps must measure the tiles they
+    # report) apart from the mandatory validity clamps below.
+    explicit_q, explicit_k = block_q is not None, block_k is not None
+    block_q = block_q if explicit_q else DEFAULT_BLOCK_Q
+    block_k = block_k if explicit_k else DEFAULT_BLOCK_K
+
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
     if d > 128:
@@ -515,8 +522,10 @@ def _flash_call(q, k, v, block_q, block_k, interpret, partial_stats,
         ntiles = -(-l // block)
         return min(block, _round_up(-(-l // ntiles), 128))
 
-    block_q = _balance(block_q, lq)
-    block_k = _balance(block_k, lk)
+    if not explicit_q:
+        block_q = _balance(block_q, lq)
+    if not explicit_k:
+        block_k = _balance(block_k, lk)
 
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
@@ -712,8 +721,8 @@ def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool | None = None,
     qk_int8: bool = False,
     pv_int8: bool = False,
@@ -758,8 +767,8 @@ def flash_attention_partial(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool | None = None,
 ):
     """Flash attention returning per-shard softmax statistics.

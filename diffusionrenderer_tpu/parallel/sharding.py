@@ -151,8 +151,8 @@ def initialize_distributed(**kwargs) -> None:
 
         if global_state.client is not None:
             return  # already initialized
-    except ImportError:  # private module moved: fall back to try/except
-        pass
+    except Exception:  # private API: any drift (moved module, renamed
+        pass           # field) falls back to the try/except below
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:  # double-init race
@@ -201,6 +201,19 @@ def make_hybrid_mesh(
             mesh_shape=(data, seq, tensor),
             dcn_mesh_shape=(dcn_data, 1, 1),
             devices=devices,
+        )
+    elif None not in slice_ids and len(slice_ids) > 1:
+        # Devices DO report a real multi-slice topology, but it does not
+        # match the requested dcn_data.  A contiguous fallback here would
+        # silently let the seq/tensor axes (per-layer all-gathers,
+        # per-matmul reduce-scatters) span DCN — a severe, hard-to-diagnose
+        # slowdown on exactly the deployment this function targets — so
+        # refuse instead.  (All-devices-report-slice-0 — single slice or
+        # multi-process CPU — still takes the modeled fallback below.)
+        raise ValueError(
+            f"make_hybrid_mesh(dcn_data={dcn_data}) but the visible devices "
+            f"span {len(slice_ids)} real slices ({sorted(slice_ids)}); pass "
+            f"dcn_data={len(slice_ids)} so seq/tensor collectives stay on ICI"
         )
     else:
         # No real slice topology matching the request — CPU test devices, or

@@ -176,6 +176,80 @@ def _prepare_latent_conditions(
     return jnp.concatenate(out, axis=-1)
 
 
+def _token_constraint(shard_tokens: bool):
+    """Sharding constraint for (B, L, D) DiT activations, or None.
+
+    Requires tracing under an active mesh (generate() enters it)."""
+    if not shard_tokens:
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    return lambda x: jax.lax.with_sharding_constraint(
+        x, P("data", "seq", None)
+    )
+
+
+def _make_denoise_fn(dit_params, latent_condition, ctx, guidance, *, cfg,
+                     use_cfg, compute_dtype, seq_constraint, sp_attn, mesh,
+                     mlp_chunks):
+    """The ONE CFG/denoise core: builds denoise_fn(x_scaled, sigma) -> F(x).
+
+    Shared by the fused (_generate_jit) and staged (_sample_jit /
+    _sample_segment_jit) paths so the classifier-free-guidance batching and
+    the dit_forward plumbing exist exactly once.  Under CFG the (cond,
+    uncond) pair rides the batch axis in one forward — the reference runs a
+    doubled batch too (ref: model_diffusion_renderer.py:230-232) — and the
+    combine is net = cond + g * (cond - uncond) in fp32."""
+    b = latent_condition.shape[0]
+    if use_cfg:
+        lc2 = jnp.concatenate(
+            [latent_condition, jnp.zeros_like(latent_condition)], axis=0
+        )
+        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+
+        def denoise_fn(x_scaled, sigma):
+            x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
+            out2 = dit_forward(
+                dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
+                lc2, ctx2, cfg.net,
+                seq_sharding_constraint=seq_constraint,
+                attn_backend=sp_attn, mesh=mesh,
+                mlp_token_chunks=mlp_chunks,
+            )
+            out_c, out_u = out2[:b], out2[b:]
+            g = guidance.astype(jnp.float32)
+            return (
+                out_c.astype(jnp.float32)
+                + g * (out_c.astype(jnp.float32) - out_u.astype(jnp.float32))
+            ).astype(compute_dtype)
+
+        return denoise_fn
+
+    def denoise_fn(x_scaled, sigma):
+        return dit_forward(
+            dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
+            latent_condition, ctx, cfg.net,
+            seq_sharding_constraint=seq_constraint,
+            attn_backend=sp_attn, mesh=mesh,
+            mlp_token_chunks=mlp_chunks,
+        )
+
+    return denoise_fn
+
+
+def _make_edm_scan_step(denoise_fn, sigma_data):
+    """One EDM Euler step for lax.scan over (sigma, sigma_next) pairs
+    (ref: model_diffusion_renderer.py:224-235)."""
+
+    def step(x, pair):
+        sigma, sigma_next = pair[0], pair[1]
+        x_scaled = scale_model_input(x, sigma, sigma_data)
+        f = denoise_fn(x_scaled, sigma)
+        return edm_step(f, sigma, sigma_next, x, sigma_data), None
+
+    return step
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_steps", "use_cfg", "present", "noise_tile",
@@ -205,15 +279,7 @@ def _generate_jit(
 ):
     """Full generation: conditions -> EDM scan -> decode -> [0,1] video."""
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-
-    seq_constraint = None
-    if shard_tokens:
-        from jax.sharding import PartitionSpec as P
-
-        # Requires tracing under an active mesh (generate() enters it).
-        seq_constraint = lambda x: jax.lax.with_sharding_constraint(
-            x, P("data", "seq", None)
-        )
+    seq_constraint = _token_constraint(shard_tokens)
 
     # Inputs arrive channels-first (NCTHW — lane-pad-safe device boundary,
     # see _generate_inner); they stay channels-first until the VAE's Haar
@@ -245,50 +311,15 @@ def _generate_jit(
 
     ctx = context_index.reshape(b).astype(jnp.int32)
 
-    if use_cfg:
-        lc2 = jnp.concatenate(
-            [latent_condition, jnp.zeros_like(latent_condition)], axis=0
-        )
-        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
-
-        def denoise_fn(x_scaled, sigma):
-            x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
-            out2 = dit_forward(
-                dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
-                lc2, ctx2, cfg.net,
-                seq_sharding_constraint=seq_constraint,
-                attn_backend=sp_attn, mesh=mesh,
-                mlp_token_chunks=mlp_chunks,
-            )
-            out_c, out_u = out2[:b], out2[b:]
-            # net = cond + g * (cond - uncond) (ref:
-            # model_diffusion_renderer.py:230-232)
-            g = guidance.astype(jnp.float32)
-            return (
-                out_c.astype(jnp.float32)
-                + g * (out_c.astype(jnp.float32) - out_u.astype(jnp.float32))
-            ).astype(compute_dtype)
-
-    else:
-
-        def denoise_fn(x_scaled, sigma):
-            return dit_forward(
-                dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
-                latent_condition, ctx, cfg.net,
-                seq_sharding_constraint=seq_constraint,
-                attn_backend=sp_attn, mesh=mesh,
-                mlp_token_chunks=mlp_chunks,
-            )
-
-    # EDM Euler trajectory as one scan (ref: model_diffusion_renderer.py:224-235).
+    denoise_fn = _make_denoise_fn(
+        dit_params, latent_condition, ctx, guidance, cfg=cfg,
+        use_cfg=use_cfg, compute_dtype=compute_dtype,
+        seq_constraint=seq_constraint, sp_attn=sp_attn, mesh=mesh,
+        mlp_chunks=mlp_chunks,
+    )
+    # EDM Euler trajectory as one scan.
     pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
-
-    def step(x, pair):
-        sigma, sigma_next = pair[0], pair[1]
-        x_scaled = scale_model_input(x, sigma, cfg.scheduler.sigma_data)
-        f = denoise_fn(x_scaled, sigma)
-        return edm_step(f, sigma, sigma_next, x, cfg.scheduler.sigma_data), None
-
+    step = _make_edm_scan_step(denoise_fn, cfg.scheduler.sigma_data)
     sample, _ = jax.lax.scan(step, x_init, pairs)
 
     # Decode: vae.decode(x / sigma_data) (ref:
@@ -405,13 +436,7 @@ def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
                 mesh=None, sp_attn="auto", mlp_chunks=1):
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
-    seq_constraint = None
-    if shard_tokens:
-        from jax.sharding import PartitionSpec as P
-
-        seq_constraint = lambda x: jax.lax.with_sharding_constraint(
-            x, P("data", "seq", None)
-        )
+    seq_constraint = _token_constraint(shard_tokens)
 
     latent_condition = latent_condition.astype(compute_dtype)
     b, lt, lh, lw, _ = latent_condition.shape
@@ -426,47 +451,14 @@ def _sample_jit(dit_params, latent_condition, context_index, key, guidance,
     )
     ctx = context_index.reshape(b).astype(jnp.int32)
 
-    if use_cfg:
-        lc2 = jnp.concatenate(
-            [latent_condition, jnp.zeros_like(latent_condition)], axis=0
-        )
-        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
-
-        def denoise_fn(x_scaled, sigma):
-            x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
-            out2 = dit_forward(
-                dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
-                lc2, ctx2, cfg.net,
-                seq_sharding_constraint=seq_constraint,
-                attn_backend=sp_attn, mesh=mesh,
-                mlp_token_chunks=mlp_chunks,
-            )
-            out_c, out_u = out2[:b], out2[b:]
-            g = guidance.astype(jnp.float32)
-            return (
-                out_c.astype(jnp.float32)
-                + g * (out_c.astype(jnp.float32) - out_u.astype(jnp.float32))
-            ).astype(compute_dtype)
-
-    else:
-
-        def denoise_fn(x_scaled, sigma):
-            return dit_forward(
-                dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
-                latent_condition, ctx, cfg.net,
-                seq_sharding_constraint=seq_constraint,
-                attn_backend=sp_attn, mesh=mesh,
-                mlp_token_chunks=mlp_chunks,
-            )
-
+    denoise_fn = _make_denoise_fn(
+        dit_params, latent_condition, ctx, guidance, cfg=cfg,
+        use_cfg=use_cfg, compute_dtype=compute_dtype,
+        seq_constraint=seq_constraint, sp_attn=sp_attn, mesh=mesh,
+        mlp_chunks=mlp_chunks,
+    )
     pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
-
-    def step(x, pair):
-        sigma, sigma_next = pair[0], pair[1]
-        x_scaled = scale_model_input(x, sigma, cfg.scheduler.sigma_data)
-        f = denoise_fn(x_scaled, sigma)
-        return edm_step(f, sigma, sigma_next, x, cfg.scheduler.sigma_data), None
-
+    step = _make_edm_scan_step(denoise_fn, cfg.scheduler.sigma_data)
     sample, _ = jax.lax.scan(step, x_init, pairs)
     return sample
 
@@ -489,58 +481,20 @@ def _sample_segment_jit(dit_params, latent_condition, context_index, x,
     """
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
-    seq_constraint = None
-    if shard_tokens:
-        from jax.sharding import PartitionSpec as P
-
-        seq_constraint = lambda xx: jax.lax.with_sharding_constraint(
-            xx, P("data", "seq", None)
-        )
+    seq_constraint = _token_constraint(shard_tokens)
 
     latent_condition = latent_condition.astype(compute_dtype)
     b = latent_condition.shape[0]
     x = x.astype(compute_dtype)
     ctx = context_index.reshape(b).astype(jnp.int32)
 
-    if use_cfg:
-        lc2 = jnp.concatenate(
-            [latent_condition, jnp.zeros_like(latent_condition)], axis=0
-        )
-        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
-
-        def denoise_fn(x_scaled, sigma):
-            x2 = jnp.concatenate([x_scaled, x_scaled], axis=0)
-            out2 = dit_forward(
-                dit_params, x2, jnp.full((2 * b,), sigma, compute_dtype),
-                lc2, ctx2, cfg.net,
-                seq_sharding_constraint=seq_constraint,
-                attn_backend=sp_attn, mesh=mesh,
-                mlp_token_chunks=mlp_chunks,
-            )
-            out_c, out_u = out2[:b], out2[b:]
-            g = guidance.astype(jnp.float32)
-            return (
-                out_c.astype(jnp.float32)
-                + g * (out_c.astype(jnp.float32) - out_u.astype(jnp.float32))
-            ).astype(compute_dtype)
-
-    else:
-
-        def denoise_fn(x_scaled, sigma):
-            return dit_forward(
-                dit_params, x_scaled, jnp.full((b,), sigma, compute_dtype),
-                latent_condition, ctx, cfg.net,
-                seq_sharding_constraint=seq_constraint,
-                attn_backend=sp_attn, mesh=mesh,
-                mlp_token_chunks=mlp_chunks,
-            )
-
-    def step(x, pair):
-        sigma, sigma_next = pair[0], pair[1]
-        x_scaled = scale_model_input(x, sigma, cfg.scheduler.sigma_data)
-        f = denoise_fn(x_scaled, sigma)
-        return edm_step(f, sigma, sigma_next, x, cfg.scheduler.sigma_data), None
-
+    denoise_fn = _make_denoise_fn(
+        dit_params, latent_condition, ctx, guidance, cfg=cfg,
+        use_cfg=use_cfg, compute_dtype=compute_dtype,
+        seq_constraint=seq_constraint, sp_attn=sp_attn, mesh=mesh,
+        mlp_chunks=mlp_chunks,
+    )
+    step = _make_edm_scan_step(denoise_fn, cfg.scheduler.sigma_data)
     x, _ = jax.lax.scan(step, x, sigma_pairs)
     return x
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -97,10 +98,16 @@ class ServingExecutor:
         if first is None:
             return []
         batch = [first]
-        deadline = self.max_wait_s
+        # One ABSOLUTE deadline for the whole batch: a per-get timeout would
+        # reset on every arrival, letting a steady trickle hold the batch
+        # open for up to max_batch x max_wait while request 0 waits.
+        deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._queue.get(timeout=deadline)
+                nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:

@@ -91,3 +91,62 @@ class TestServing:
         ex = ServingExecutor(pipeline)
         ex.shutdown()
         ex.shutdown()
+
+    def test_trickle_bounded_by_one_absolute_deadline(self, pipeline):
+        """A steady trickle slower than max_wait must NOT hold the batch
+        open per-arrival: batch formation is bounded by ONE max_wait_ms
+        from the first request (a per-get timeout would reset on every
+        arrival, stretching to ~max_batch x max_wait)."""
+        import threading
+        import time
+        from concurrent.futures import Future
+
+        from diffusionrenderer_tpu.serving import Request
+
+        ex = ServingExecutor(pipeline, max_batch=8, max_wait_ms=200)
+        ex.shutdown()  # stop the worker; drive _collect_batch directly
+        stop = threading.Event()
+
+        def trickle():
+            while not stop.is_set():
+                ex._queue.put(Request(req(0), 0, False, Future(), ("b",)))
+                stop.wait(0.12)  # slower than nothing, faster than max_wait
+
+        t = threading.Thread(target=trickle, daemon=True)
+        t0 = time.monotonic()
+        t.start()
+        try:
+            batch = ex._collect_batch()
+            elapsed = time.monotonic() - t0
+        finally:
+            stop.set()
+            t.join(timeout=5)
+        # Old behavior: every 0.12 s arrival reset the 0.2 s timeout, so the
+        # batch filled to 8 over ~0.96 s.  New: one absolute 0.2 s deadline.
+        assert elapsed < 0.6, f"batch held open {elapsed:.2f}s"
+        assert 1 <= len(batch) < 8
+
+    def test_mixed_bucket_trickle_fairness(self, pipeline):
+        """Interleaved requests from two shape buckets, arriving as a slow
+        trickle, must all resolve — a different-bucket arrival closes the
+        current batch and is requeued, never dropped or starved."""
+        import time
+
+        ex = ServingExecutor(pipeline, max_batch=4, max_wait_ms=50)
+        try:
+            futs = []
+            for i in range(6):
+                if i % 2 == 0:
+                    futs.append(ex.submit(req(i)))
+                else:
+                    futs.append(ex.submit({
+                        "rgb": jnp.zeros((1, 1, 32, 32, 3), jnp.float32),
+                        "context_index": jnp.zeros((1,), jnp.int32),
+                    }))
+                time.sleep(0.02)
+            outs = [f.result(timeout=300) for f in futs]
+            for i, o in enumerate(outs):
+                expect = 16 if i % 2 == 0 else 32
+                assert o.shape == (1, 1, expect, expect, 3)
+        finally:
+            ex.shutdown()
