@@ -117,6 +117,27 @@ def load_pipeline(
         vae_params = load_latent_stats(
             vae_params, vc["latents_mean"], vc["latents_std"], vae_cfg
         )
+    if vae_checkpoint is not None:
+        # Identity stats on a real flagship checkpoint produce silently
+        # wrong latents (diffusers applies latents_mean/std inside
+        # encode/decode; ref VAE_config.json:21-535).  Diffusers loads fall
+        # back to the bundled table (checkpoint_vae.ensure_latent_stats);
+        # the only way to get here is a native checkpoint that was saved
+        # with identity stats — refuse rather than mis-render.
+        from .checkpoint_vae import _is_flagship_vae
+
+        if _is_flagship_vae(vae_cfg) and bool(
+            np.all(np.asarray(vae_params["latents_mean"]) == 0.0)
+            and np.all(np.asarray(vae_params["latents_std"]) == 1.0)
+        ):
+            raise ValueError(
+                f"VAE checkpoint {vae_checkpoint!r} has identity "
+                "latents_mean/std at the flagship CV8x8x8 architecture — "
+                "this silently corrupts every latent.  Re-convert the "
+                "checkpoint (the converter now bundles the statistics "
+                "table), or pass vae_config_json pointing at the diffusers "
+                "config.json."
+            )
 
     return DiffusionRendererPipeline(
         dit_params,

@@ -30,6 +30,61 @@ from .models.vae import init_vae_params, load_latent_stats
 
 Params = Dict[str, Any]
 
+# The flagship Cosmos-1.0-Tokenizer-CV8x8x8 architecture (VAE_config.json),
+# i.e. the only checkpoint family whose latent statistics we ship.
+_FLAGSHIP_ENC_CHANNELS = (128, 256, 512, 512)
+
+
+def bundled_latent_stats() -> Dict[str, Any]:
+    """The shipped per-(channel, latent-frame) CV8x8x8 latent statistics.
+
+    Constant model metadata (256 mean + 256 std entries) from the published
+    diffusers config (ref: VAE_config.json:21-535), bundled in-package so a
+    production pipeline never depends on the user's checkpoint directory
+    carrying a config.json."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "cosmos_cv8x8x8_latent_stats.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _is_flagship_vae(cfg: VAEConfig) -> bool:
+    return (
+        cfg.latent_channels == 16
+        and cfg.max_latent_frames == 16
+        and tuple(cfg.encoder_block_out_channels) == _FLAGSHIP_ENC_CHANNELS
+    )
+
+
+def ensure_latent_stats(params: Params, cfg: VAEConfig) -> Params:
+    """Install the bundled CV8x8x8 stats when a flagship-config load left
+    them identity (missing or stats-less config.json).
+
+    Identity stats silently produce wrong latents — the one failure mode the
+    strict key converter cannot catch, since latents_mean/std live in the
+    config JSON, not the state dict.  Non-flagship (scaled test) configs
+    pass through untouched: we have no table for them and identity is the
+    correct default for random-init models."""
+    if not _is_flagship_vae(cfg):
+        return params
+    mean = np.asarray(params.get("latents_mean"))
+    std = np.asarray(params.get("latents_std"))
+    if not (np.all(mean == 0.0) and np.all(std == 1.0)):
+        return params  # real stats already installed
+    from .utils.profiling import logger
+
+    logger.info(
+        "VAE checkpoint carried no latents_mean/std; installing the "
+        "bundled CV8x8x8 statistics table"
+    )
+    stats = bundled_latent_stats()
+    return load_latent_stats(
+        params, stats["latents_mean"], stats["latents_std"], cfg
+    )
+
 
 # ---------------------------------------------------------------------------
 # Native flat format
@@ -136,8 +191,23 @@ def convert_diffusers_vae_state_dict(
         conv(dst["conv_t"], key + ".conv_t")
 
     def norm(dst, key):
-        dst["scale"] = jnp.asarray(take(key + ".norm.weight"), jnp.float32)
-        dst["bias"] = jnp.asarray(take(key + ".norm.bias"), jnp.float32)
+        # CosmosCausalGroupNorm key convention (VAEConfig.norm_nesting):
+        # 'nested' = the GroupNorm lives at '<mod>.norm.*'; 'flat' = the
+        # affine params sit directly on the module.
+        nested = cfg.norm_nesting == "nested"
+        want = f"{key}{'.norm' if nested else ''}.weight"
+        other = f"{key}{'' if nested else '.norm'}.weight"
+        if want not in sd and other in sd:
+            raise KeyError(
+                f"checkpoint has {other!r} where norm_nesting="
+                f"{cfg.norm_nesting!r} expects {want!r} — this checkpoint "
+                f"uses the {'flat' if nested else 'nested'!r} convention; "
+                f"pass VAEConfig(norm_nesting="
+                f"{'flat' if nested else 'nested'!r})"
+            )
+        infix = ".norm" if nested else ""
+        dst["scale"] = jnp.asarray(take(f"{key}{infix}.weight"), jnp.float32)
+        dst["bias"] = jnp.asarray(take(f"{key}{infix}.bias"), jnp.float32)
 
     def resblock(dst, key):
         norm(dst["norm1"], key + ".norm1")
@@ -192,6 +262,90 @@ def convert_diffusers_vae_state_dict(
     return params
 
 
+class VAECalibrationError(ValueError):
+    """A convert-time VAE convention check failed (see the VAEConfig
+    dwt_rescale / norm_nesting / stats_location switches)."""
+
+
+def calibrate_vae_conventions(
+    params: Params,
+    cfg: VAEConfig,
+    *,
+    tol: float = 0.15,
+    size: int = 64,
+    encode_fn=None,
+    decode_fn=None,
+) -> Dict[str, float]:
+    """Convert-time convention calibration against a REAL (trained)
+    checkpoint: encode->decode of constant frames must reproduce them.
+
+    A trained autoencoder reconstructs constants near-exactly (DC gain ~1).
+    The conventions this framework reconstructed from the diffusers config
+    rather than observed (NOTES.md item 1) each break that invariant
+    measurably when wrong:
+
+    * dwt_rescale — a per-level scale mismatch multiplies the patcher
+      output 8x (two levels of sqrt8) relative to what the trained conv_in
+      weights expect, and the synthesis side divides the decoder output the
+      same way: the reconstruction's DC gain lands far from 1;
+    * stats_location — stats applied in the wrong place feed the decoder
+      un-normalized (or doubly-normalized) latents: constant frames come
+      back shifted/scaled per channel;
+    * norm_nesting — caught earlier, at key-mapping time (strict converter).
+
+    Returns {input_value: mean_abs_error} on success; raises
+    VAECalibrationError naming the suspect switch otherwise.  Only
+    meaningful for trained weights — random-init models fail by design
+    (the CLI skips calibration for --tiny converts).
+
+    encode_fn/decode_fn override the bound vae_encode/vae_decode (tests
+    inject mocks; production uses the defaults).
+    """
+    from .models.vae import vae_decode, vae_encode
+
+    enc = encode_fn or (lambda x: vae_encode(params, x, cfg))
+    dec = decode_fn or (lambda z: vae_decode(params, z, cfg))
+
+    errs: Dict[str, float] = {}
+    latent_rms = []
+    for v in (-0.5, 0.0, 0.5):
+        x = jnp.full((1, 1, size, size, cfg.in_channels), v, jnp.float32)
+        z = enc(x)
+        latent_rms.append(float(jnp.sqrt(jnp.mean(
+            jnp.square(z.astype(jnp.float32))))))
+        y = np.asarray(dec(z), np.float32)
+        errs[str(v)] = float(np.abs(y - v).mean())
+    worst = max(errs.values())
+    if worst <= tol:
+        return errs
+    rms = max(latent_rms)
+    # Name the suspect: normalized latents of a trained model are ~N(0,1);
+    # an order-of-magnitude-off RMS points at a uniform scale error (DWT
+    # convention or misapplied stats), an O(1) RMS with a bad roundtrip
+    # points at the stats being applied in the wrong place.
+    if rms > 8.0 or rms < 0.125:
+        suspect = (
+            f"latent RMS {rms:.3g} is far from the ~1 a trained model "
+            f"produces — consistent with a DWT rescale convention mismatch "
+            f"(try VAEConfig(dwt_rescale="
+            f"{'orthonormal' if cfg.dwt_rescale == 'gain1' else 'gain1'!r}))"
+            f" or latent statistics applied at the wrong place "
+            f"(stats_location={cfg.stats_location!r})"
+        )
+    else:
+        suspect = (
+            f"latent RMS {rms:.3g} looks calibrated, so the DWT scale is "
+            f"likely right — check stats_location "
+            f"(currently {cfg.stats_location!r}) and that latents_mean/std "
+            f"match this checkpoint"
+        )
+    raise VAECalibrationError(
+        f"constant-frame roundtrip failed: mean abs error {worst:.4f} > "
+        f"tol {tol} (per-input {errs}).  {suspect}.  If these weights are "
+        f"untrained/random this check is meaningless — skip it."
+    )
+
+
 def load_vae_checkpoint(
     path: str, cfg: VAEConfig, dtype: jnp.dtype = jnp.bfloat16
 ) -> Params:
@@ -226,11 +380,16 @@ def load_vae_checkpoint(
                 params = load_latent_stats(
                     params, vc["latents_mean"], vc["latents_std"], cfg
                 )
-        return params
+        # Missing/stats-less config.json must not silently leave identity
+        # stats on a flagship checkpoint — fall back to the bundled table.
+        return ensure_latent_stats(params, cfg)
 
     from safetensors.numpy import load_file
 
     flat = load_file(path)
     if any("/" in k for k in flat):
         return load_vae_native(path, dtype)
-    return convert_diffusers_vae_state_dict(flat, cfg, dtype)
+    # A bare safetensors file has no config.json at all; same fallback.
+    return ensure_latent_stats(
+        convert_diffusers_vae_state_dict(flat, cfg, dtype), cfg
+    )

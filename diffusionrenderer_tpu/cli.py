@@ -207,6 +207,14 @@ def cmd_convert(args) -> None:
     if args.vae:
         vcfg = _tiny_configs(args.model_type)[1] if args.tiny else VAEConfig()
         vae_params = load_vae_checkpoint(args.vae, vcfg, dtype)
+        if not args.tiny and not args.skip_calibration:
+            # Constant-frame roundtrip check: detects a wrong DWT-rescale /
+            # stats-location convention against the real (trained) weights
+            # at convert time instead of silently shifting every output.
+            from .checkpoint_vae import calibrate_vae_conventions
+
+            errs = calibrate_vae_conventions(vae_params, vcfg)
+            print(f"calibration OK (constant-frame roundtrip errors: {errs})")
         out = os.path.join(args.out, "vae")
         save_native(out, vae_params)
         print(f"wrote {out}")
@@ -334,6 +342,10 @@ def main(argv: Optional[List[str]] = None) -> None:
                     help="bake int8 weights + runtime-int8-activation marks")
     sc.add_argument("--tiny", action="store_true",
                     help="tiny architecture (matching --tiny checkpoints)")
+    sc.add_argument("--skip-calibration", dest="skip_calibration",
+                    action="store_true",
+                    help="skip the VAE constant-frame roundtrip convention "
+                         "check (only sensible for untrained weights)")
     sc.add_argument("--out", required=True, help="output directory")
     sc.set_defaults(fn=cmd_convert)
 

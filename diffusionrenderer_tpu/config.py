@@ -140,6 +140,24 @@ class VAEConfig:
     # Max latent frames covered by the per-(channel, frame) latent statistics
     # vectors (256 entries = 16 channels x 16 frames, VAE_config.json:21-535).
     max_latent_frames: int = 16
+    # --- Convention switches ------------------------------------------------
+    # Three conventions of the diffusers AutoencoderKLCosmos implementation
+    # that were reconstructed from its config rather than observed against a
+    # real checkpoint (NOTES.md item 1).  Defaults are the believed-correct
+    # conventions; each switch makes the alternative a config flip instead of
+    # a code change, and checkpoint_vae.calibrate_vae_conventions detects a
+    # wrong choice at convert time from the constant-frame roundtrip
+    # invariant.
+    # Haar analysis rescale per level: 'gain1' = entries +-1/8 (diffusers
+    # rescale=True; DC gain exactly 1) | 'orthonormal' = +-1/sqrt8 per level.
+    dwt_rescale: str = "gain1"
+    # CosmosCausalGroupNorm checkpoint keys: 'nested' = '<mod>.norm.weight'
+    # (a GroupNorm submodule) | 'flat' = '<mod>.weight'.
+    norm_nesting: str = "nested"
+    # Where latents_mean/std normalization is applied: 'encode' = inside
+    # vae_encode/vae_decode (diffusers applies them inside encode/decode) |
+    # 'external' = caller's responsibility, encode returns raw latents.
+    stats_location: str = "encode"
 
     def latent_num_frames(self, num_pixel_frames: int) -> int:
         """Causal frame math (ref: CleanVAE.py:34-37)."""

@@ -89,7 +89,7 @@ def _haar_kernel_np(c: int):
 
 
 def _haar_level(x: jax.Array, in_layout: str = "NDHWC",
-                out_layout: str = "NDHWC") -> jax.Array:
+                out_layout: str = "NDHWC", scale: float = 0.125) -> jax.Array:
     """One exact stride-2 Haar level; all of (T, H, W) must be even.
 
     (B, T, H, W, C) -> (B, T/2, H/2, W/2, 8C) (layouts per in/out_layout).
@@ -136,7 +136,7 @@ def _haar_level(x: jax.Array, in_layout: str = "NDHWC",
             lt, ht = halves(u, ax_t)
             subbands[(0 << 2) | (h_bit << 1) | w_bit] = lt
             subbands[(1 << 2) | (h_bit << 1) | w_bit] = ht
-    out = jnp.concatenate(subbands, axis=ax_c) * 0.125
+    out = jnp.concatenate(subbands, axis=ax_c) * scale
     out = out.astype(x.dtype)
     if in_layout == "NCDHW" and out_layout == "NDHWC":
         return jnp.transpose(out, (0, 2, 3, 4, 1))
@@ -159,7 +159,8 @@ def _interleave2(a: jax.Array, b: jax.Array, axis: int) -> jax.Array:
 
 
 def _haar_level_inverse(x: jax.Array, out_layout: str = "NDHWC",
-                        in_layout: str = "NDHWC") -> jax.Array:
+                        in_layout: str = "NDHWC",
+                        scale: float = 1.0) -> jax.Array:
     """Inverse of _haar_level: (B, T2, H2, W2, 8C) -> (B, 2*T2, 2*H2, 2*W2, C)
     (or NCDHW per in/out_layout).  Analysis A = O/sqrt8 with O orthonormal,
     so synthesis is A^T * 8; with the forward's per-axis (sum, diff) pairs
@@ -189,7 +190,10 @@ def _haar_level_inverse(x: jax.Array, out_layout: str = "NDHWC",
             a, d = subs[s], subs[s | bit]
             nxt[s] = _interleave2(a + d, a - d, axis)
         subs = nxt
-    out = subs[0].astype(x.dtype)  # (B, C, 2T2, 2H2, 2W2)
+    out = subs[0]
+    if scale != 1.0:
+        out = out * scale
+    out = out.astype(x.dtype)  # (B, C, 2T2, 2H2, 2W2)
     if out_layout == "NDHWC":
         return jnp.transpose(out, (0, 2, 3, 4, 1))
     return out
@@ -203,15 +207,31 @@ def _check_frames(t: int, patch: int) -> None:
         )
 
 
+def _dwt_scales(rescale: str):
+    """Per-level (analysis, synthesis) multipliers for the raw sum/diff
+    butterfly.  'gain1': analysis kernel entries +-1/8, DC gain exactly 1,
+    synthesis needs no scale (the believed diffusers rescale=True
+    convention).  'orthonormal': A = O with O orthonormal (per-axis
+    (sum,diff)/sqrt2), i.e. analysis and synthesis both 1/sqrt8 per level."""
+    if rescale == "gain1":
+        return 0.125, 1.0
+    if rescale == "orthonormal":
+        s = 1.0 / math.sqrt(8.0)
+        return s, s
+    raise ValueError(f"unknown dwt_rescale convention {rescale!r}")
+
+
 def haar_patch(x: jax.Array, levels: int,
-               in_layout: str = "NDHWC") -> jax.Array:
+               in_layout: str = "NDHWC", rescale: str = "gain1") -> jax.Array:
     """Causal patching: repeat the first frame 2^levels times, then exact
     halvings (diffusers CosmosPatchEmbed3d._haar_wavelet_transform).
 
     in_layout='NCDHW' accepts channels-first pixels and stays channels-first
     through the intermediate levels (channel counts 3, 24, ... would lane-pad
-    heavily channels-last); the final level always emits NDHWC."""
+    heavily channels-last); the final level always emits NDHWC.
+    rescale: the per-level DWT scale convention (VAEConfig.dwt_rescale)."""
     p = 2**levels
+    ana, _ = _dwt_scales(rescale)
     if in_layout == "NCDHW":
         _check_frames(x.shape[2], p)
         x = jnp.concatenate(
@@ -220,22 +240,25 @@ def haar_patch(x: jax.Array, levels: int,
         for lvl in range(levels):
             last = lvl == levels - 1
             x = _haar_level(x, in_layout="NCDHW",
-                            out_layout="NDHWC" if last else "NCDHW")
+                            out_layout="NDHWC" if last else "NCDHW",
+                            scale=ana)
         return x
     _check_frames(x.shape[1], p)
     x = jnp.concatenate([jnp.repeat(x[:, :1], p, axis=1), x[:, 1:]], axis=1)
     for _ in range(levels):
-        x = _haar_level(x)
+        x = _haar_level(x, scale=ana)
     return x
 
 
 def haar_unpatch(
-    x: jax.Array, levels: int, orig_t: int, out_layout: str = "NDHWC"
+    x: jax.Array, levels: int, orig_t: int, out_layout: str = "NDHWC",
+    rescale: str = "gain1",
 ) -> jax.Array:
     """Inverse recursive Haar; drops the leading 2^levels - 1 frames that the
     forward pass synthesized from the repeated first frame.  out_layout
     applies to the FINAL (pixel-space) level only."""
     p = 2**levels
+    _, syn = _dwt_scales(rescale)
     _check_frames(orig_t, p)
     for lvl in reversed(range(levels)):
         # Channels-first between levels (shrinking channel counts 24, 192
@@ -244,6 +267,7 @@ def haar_unpatch(
             x,
             in_layout="NDHWC" if lvl == levels - 1 else "NCDHW",
             out_layout=out_layout if lvl == 0 else "NCDHW",
+            scale=syn,
         )
     return x[:, :, p - 1:] if out_layout == "NCDHW" else x[:, p - 1:]
 
@@ -602,7 +626,7 @@ def vae_encode(params: Params, x: jax.Array, cfg: VAEConfig,
     Deterministic (identity posterior, see module docstring)."""
     levels = int(math.log2(cfg.patch_size))
     enc = params["encoder"]
-    h = haar_patch(x, levels, in_layout=in_layout)
+    h = haar_patch(x, levels, in_layout=in_layout, rescale=cfg.dwt_rescale)
     h = _conv_proj(h, enc["conv_in"])
     for level in enc["levels"]:
         for rb in level["resblocks"]:
@@ -618,6 +642,8 @@ def vae_encode(params: Params, x: jax.Array, cfg: VAEConfig,
     h = jax.nn.silu(h)
     z = _conv_proj(h, enc["conv_out"])
 
+    if cfg.stats_location != "encode":
+        return z  # 'external': caller owns the latent-stats normalization
     # Normalize by per-(channel, frame) stats, broadcast over H, W.
     t_lat = z.shape[1]
     mean = params["latents_mean"][:, :t_lat].T[None, :, None, None, :]
@@ -635,9 +661,11 @@ def vae_decode(params: Params, z: jax.Array, cfg: VAEConfig,
     dec = params["decoder"]
 
     t_lat = z.shape[1]
-    mean = params["latents_mean"][:, :t_lat].T[None, :, None, None, :]
-    std = params["latents_std"][:, :t_lat].T[None, :, None, None, :]
-    z = (z.astype(jnp.float32) / cfg.scaling_factor * std + mean).astype(z.dtype)
+    if cfg.stats_location == "encode":
+        mean = params["latents_mean"][:, :t_lat].T[None, :, None, None, :]
+        std = params["latents_std"][:, :t_lat].T[None, :, None, None, :]
+        z = (z.astype(jnp.float32) / cfg.scaling_factor * std
+             + mean).astype(z.dtype)
 
     h = _conv_proj(z, dec["conv_in"])
     mid = dec["mid"]
@@ -655,7 +683,8 @@ def vae_decode(params: Params, z: jax.Array, cfg: VAEConfig,
     h = _conv_proj(h, dec["conv_out"])
 
     pixel_t = cfg.pixel_num_frames(t_lat)
-    return haar_unpatch(h, levels, pixel_t, out_layout=out_layout)
+    return haar_unpatch(h, levels, pixel_t, out_layout=out_layout,
+                        rescale=cfg.dwt_rescale)
 
 
 def vae_encode_chunked(
