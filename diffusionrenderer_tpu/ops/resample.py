@@ -54,7 +54,67 @@ def _bilinear_gather(img: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
     return top * (1 - fy) + bot * fy
 
 
-def sample_cubemap(cubemap: jax.Array, dirs: jax.Array) -> jax.Array:
+def _cube_face_dir(f: int, u: float, v: float):
+    """Un-normalized direction of face f at in-face coords (u, v) in
+    [-1, 1]^2 — the inverse of the per-face (u, v) extraction in
+    sample_cubemap (same convention as the reference's cube_to_dir,
+    preprocess_envmap.py:142-155)."""
+    return {
+        0: (1.0, -v, -u),
+        1: (-1.0, -v, u),
+        2: (u, 1.0, v),
+        3: (u, -1.0, -v),
+        4: (u, -v, 1.0),
+        5: (-u, -v, -1.0),
+    }[f]
+
+
+def _build_cube_adjacency():
+    """24-entry face-edge adjacency: (face, edge) -> (neighbor face,
+    neighbor edge, flip).
+
+    Edges 0..3 = u=-1, u=+1, v=-1, v=+1, each parametrized by the OTHER
+    in-face coordinate t in [-1, 1].  Derived numerically from the face
+    direction convention by matching edge-corner directions (components are
+    exactly +-1, so equality is exact): two faces share a geometric edge iff
+    their corner pairs coincide; flip records whether the along-edge
+    parametrizations run opposite ways."""
+    import numpy as np
+
+    def corners(f, e):
+        pts = {
+            0: ((-1.0, -1.0), (-1.0, 1.0)),  # u=-1, t = v
+            1: ((1.0, -1.0), (1.0, 1.0)),    # u=+1, t = v
+            2: ((-1.0, -1.0), (1.0, -1.0)),  # v=-1, t = u
+            3: ((-1.0, 1.0), (1.0, 1.0)),    # v=+1, t = u
+        }[e]
+        return tuple(_cube_face_dir(f, u, v) for u, v in pts)
+
+    nface = np.zeros((6, 4), np.int32)
+    nedge = np.zeros((6, 4), np.int32)
+    nflip = np.zeros((6, 4), np.int32)
+    for f in range(6):
+        for e in range(4):
+            c = corners(f, e)
+            found = False
+            for g in range(6):
+                if g == f:
+                    continue
+                for e2 in range(4):
+                    c2 = corners(g, e2)
+                    if c2 == c or c2 == (c[1], c[0]):
+                        nface[f, e], nedge[f, e] = g, e2
+                        nflip[f, e] = int(c2 == (c[1], c[0]))
+                        found = True
+            assert found, (f, e)
+    return nface, nedge, nflip
+
+
+_NEIGH_FACE, _NEIGH_EDGE, _NEIGH_FLIP = _build_cube_adjacency()
+
+
+def sample_cubemap(cubemap: jax.Array, dirs: jax.Array,
+                   seam: bool = True) -> jax.Array:
     """Fetch a cubemap (6, R, R, C) along direction vectors dirs (..., 3).
 
     Face convention matches the reference's cube_to_dir
@@ -63,10 +123,14 @@ def sample_cubemap(cubemap: jax.Array, dirs: jax.Array) -> jax.Array:
       face 2: +Y  (u=x, v=z)               face 3: -Y  (u=x, v=-z)
       face 4: +Z  (u=x, v=-y)              face 5: -Z  (u=-x, v=-y)
 
-    Bilinear filtering with clamp-to-edge per face.  nvdiffrast's 'cube'
-    boundary filters seamlessly ACROSS faces at edges; clamp-to-edge differs
-    only in the outermost half-texel ring of each face (sub-0.2% of texels at
-    R=512) — parity there is tolerance-tested, not bit-tested.
+    seam=True (default) filters seamlessly ACROSS face edges like
+    nvdiffrast's boundary_mode='cube' (ref: preprocess_envmap.py:446-447):
+    a bilinear tap falling outside the face gathers the geometrically
+    adjacent texel of the neighboring face (via the 24-entry face-edge
+    adjacency table); a tap beyond a cube CORNER — where only 3 texels
+    meet — averages the three corner texels.  seam=False is the clamp-to-
+    edge fast path (differs only in the outermost half-texel ring of each
+    face, sub-0.2% of texels at R=512).
     """
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
@@ -103,18 +167,68 @@ def sample_cubemap(cubemap: jax.Array, dirs: jax.Array) -> jax.Array:
     y0 = jnp.floor(gy)
     fx = (gx - x0)[..., None]
     fy = (gy - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, r - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, r - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, r - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, r - 1)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
 
-    v00 = cubemap[face, y0i, x0i]
-    v01 = cubemap[face, y0i, x1i]
-    v10 = cubemap[face, y1i, x0i]
-    v11 = cubemap[face, y1i, x1i]
+    if seam:
+        fetch = lambda xi, yi: _fetch_seam(cubemap, face, xi, yi)
+    else:
+        fetch = lambda xi, yi: cubemap[
+            face, jnp.clip(yi, 0, r - 1), jnp.clip(xi, 0, r - 1)
+        ]
+
+    v00 = fetch(x0i, y0i)
+    v01 = fetch(x0i + 1, y0i)
+    v10 = fetch(x0i, y0i + 1)
+    v11 = fetch(x0i + 1, y0i + 1)
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def _fetch_seam(cubemap: jax.Array, face: jax.Array,
+                xi: jax.Array, yi: jax.Array) -> jax.Array:
+    """One nearest-texel gather with cross-face edge wrapping.
+
+    xi/yi are integer taps in [-1, R]: in-range taps read their own face;
+    an out-of-range coordinate wraps to the adjacent face's border texel at
+    the same along-edge position (adjacency table above); taps beyond a
+    corner (both out) average the 3 texels meeting at that cube corner."""
+    r = cubemap.shape[1]
+    nface = jnp.asarray(_NEIGH_FACE)
+    nedge = jnp.asarray(_NEIGH_EDGE)
+    nflip = jnp.asarray(_NEIGH_FLIP)
+
+    x_out = (xi < 0) | (xi > r - 1)
+    y_out = (yi < 0) | (yi > r - 1)
+    xc = jnp.clip(xi, 0, r - 1)
+    yc = jnp.clip(yi, 0, r - 1)
+
+    def neighbor(edge, j):
+        """Texel (face', y', x') adjacent across `edge` at along-edge j."""
+        g = nface[face, edge]
+        e2 = nedge[face, edge]
+        j2 = jnp.where(nflip[face, edge] == 1, r - 1 - j, j)
+        # Border line of edge e2 on face g: u=-1 -> x=0; u=+1 -> x=r-1;
+        # v=-1 -> y=0; v=+1 -> y=r-1; the along-edge coord is the other one.
+        nx = jnp.where(e2 == 0, 0, jnp.where(e2 == 1, r - 1, j2))
+        ny = jnp.where(e2 == 2, 0, jnp.where(e2 == 3, r - 1, j2))
+        return g, ny, nx
+
+    x_edge = jnp.where(xi < 0, 0, 1)
+    y_edge = jnp.where(yi < 0, 2, 3)
+    gx_f, gx_y, gx_x = neighbor(x_edge, yc)   # wrap across the u edge
+    gy_f, gy_y, gy_x = neighbor(y_edge, xc)   # wrap across the v edge
+
+    own = cubemap[face, yc, xc]
+    via_x = cubemap[gx_f, gx_y, gx_x]
+    via_y = cubemap[gy_f, gy_y, gy_x]
+
+    corner = (x_out & y_out)[..., None]
+    x_only = (x_out & ~y_out)[..., None]
+    y_only = (y_out & ~x_out)[..., None]
+    out = jnp.where(x_only, via_x, jnp.where(y_only, via_y, own))
+    return jnp.where(corner, (own + via_x + via_y) / 3.0, out)
 
 
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:

@@ -145,6 +145,123 @@ class TestCubemap:
             fetched[mid], pano[mid], rtol=0.05, atol=0.05
         )
 
+    def test_seam_exact_parity_with_fold_oracle(self):
+        """Edge-ring taps filter ACROSS faces exactly (VERDICT r2 item 6).
+
+        Oracle: independent geometric fold — an out-of-face integer tap's
+        plane point is rotated about the shared cube edge onto the adjacent
+        face, whose nearest texel it must fetch (this is what nvdiffrast's
+        boundary_mode='cube' seamless filtering does, ref:
+        preprocess_envmap.py:446-447).  Directions are built so fy=0 and
+        fx=0.25, making the expected two-texel blend exact in float32 —
+        equality is asserted exactly, not within tolerance."""
+        from diffusionrenderer_tpu.ops.resample import (
+            _cube_face_dir,
+            sample_cubemap,
+        )
+
+        r = 8
+        # Identifying texel values: cubemap[f, y, x] = f*10000 + y*100 + x.
+        cube = np.zeros((6, r, r, 1), np.float32)
+        f_idx, y_idx, x_idx = np.meshgrid(
+            np.arange(6), np.arange(r), np.arange(r), indexing="ij")
+        cube[..., 0] = f_idx * 10000 + y_idx * 100 + x_idx
+
+        naxis = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+        nsign = [1, -1, 1, -1, 1, -1]
+        face_of = {(0, 1): 0, (0, -1): 1, (1, 1): 2, (1, -1): 3,
+                   (2, 1): 4, (2, -1): 5}
+
+        def extract_uv(f, p):
+            x, y, z = p
+            m = abs(p[naxis[f]])
+            return {
+                0: (-z / m, -y / m), 1: (z / m, -y / m),
+                2: (x / m, z / m), 3: (x / m, -z / m),
+                4: (x / m, -y / m), 5: (-x / m, -y / m),
+            }[f]
+
+        def fold_tap(f, xi, yi):
+            """Out-of-range integer tap on face f -> (face, y, x) texel."""
+            in_x, in_y = 0 <= xi <= r - 1, 0 <= yi <= r - 1
+            if in_x and in_y:
+                return f, yi, xi
+            assert in_x or in_y, "corner taps handled separately"
+            u = (xi + 0.5) * 2.0 / r - 1.0
+            v = (yi + 0.5) * 2.0 / r - 1.0
+            p = np.array(_cube_face_dir(f, u, v), np.float64)
+            ax = int(np.argmax(np.abs(p)))  # the coordinate that exceeded 1
+            assert ax != naxis[f]
+            e = abs(p[ax]) - 1.0
+            q = p.copy()
+            q[ax] = np.sign(p[ax])
+            q[naxis[f]] = nsign[f] * (1.0 - e)  # rotate about the edge
+            g = face_of[(ax, int(np.sign(p[ax])))]
+            u2, v2 = extract_uv(g, q)
+            x2 = int(round((u2 + 1.0) * r / 2.0 - 0.5))
+            y2 = int(round((v2 + 1.0) * r / 2.0 - 0.5))
+            return g, y2, x2
+
+        def texel(f, y, x):
+            return float(cube[f, y, x, 0])
+
+        # One direction per (face, edge, along-edge j): fx = 0.25 exactly,
+        # fy = 0 (v at a texel center) -> out = 0.75*own + 0.25*neighbor.
+        for f in range(6):
+            for j in [0, 2, r - 1]:
+                v = (j + 0.5) * 2.0 / r - 1.0
+                for gx, x0 in ((r - 0.75, r - 1), (-0.25, -1)):
+                    u = (gx + 0.5) * 2.0 / r - 1.0
+                    d = np.array(_cube_face_dir(f, u, v), np.float32)
+                    got = float(np.asarray(
+                        sample_cubemap(jnp.asarray(cube), jnp.asarray(d))
+                    )[0])
+                    t0 = texel(*fold_tap(f, x0, j))
+                    t1 = texel(*fold_tap(f, x0 + 1, j))
+                    if x0 == -1:
+                        # gx=-0.25: fx = gx - floor(gx) = 0.75 -> the out
+                        # tap at -1 gets 0.25, the in tap at 0 gets 0.75.
+                        expected = 0.25 * t0 + 0.75 * t1
+                    else:  # taps: in at r-1 (w=0.75), out at r (w=0.25)
+                        expected = 0.75 * t0 + 0.25 * t1
+                    assert got == np.float32(expected), (
+                        f, j, gx, got, expected)
+
+        # Vertical edges too (fy = 0.25, fx = 0).
+        for f in range(6):
+            j = 1
+            u = (j + 0.5) * 2.0 / r - 1.0
+            gy = r - 0.75
+            v = (gy + 0.5) * 2.0 / r - 1.0
+            d = np.array(_cube_face_dir(f, u, v), np.float32)
+            got = float(np.asarray(
+                sample_cubemap(jnp.asarray(cube), jnp.asarray(d)))[0])
+            t0 = texel(*fold_tap(f, j, r - 1))
+            t1 = texel(*fold_tap(f, j, r))
+            assert got == np.float32(0.75 * t0 + 0.25 * t1), (f, got)
+
+        # Corner: taps beyond the cube corner average the 3 meeting texels.
+        f = 4
+        gx = gy = r - 0.75
+        u = v = (gx + 0.5) * 2.0 / r - 1.0
+        d = np.array(_cube_face_dir(f, u, v), np.float32)
+        got = float(np.asarray(
+            sample_cubemap(jnp.asarray(cube), jnp.asarray(d)))[0])
+        own = texel(f, r - 1, r - 1)
+        via_x = texel(*fold_tap(f, r, r - 1))
+        via_y = texel(*fold_tap(f, r - 1, r))
+        avg3 = (own + via_x + via_y) / 3.0
+        expected = (0.5625 * own + 0.1875 * via_x + 0.1875 * via_y
+                    + 0.0625 * avg3)
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+        # seam=False is the legacy clamp fast path.
+        d_in = np.array(_cube_face_dir(0, 0.0, 0.0), np.float32)
+        a = np.asarray(sample_cubemap(jnp.asarray(cube), jnp.asarray(d_in),
+                                      seam=False))
+        b = np.asarray(sample_cubemap(jnp.asarray(cube), jnp.asarray(d_in)))
+        np.testing.assert_array_equal(a, b)
+
     def test_direct_and_cubemap_modes_agree(self):
         clear_environment_cache()
         rng = np.random.default_rng(5)
