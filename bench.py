@@ -6,12 +6,18 @@ Methodology notes (see BASELINE.md):
 * the axon TPU tunnel neither blocks on block_until_ready nor re-executes
   value-identical computations, so every timed call uses distinct inputs and
   forces a device->host fetch;
-* vs_baseline compares against the estimated per-step latency of the torch
-  reference on A100 for the same shape: the reference runs its attention/MLP
-  block bodies under fp32 autocast (ref: CleanGeneralDIT.py:509), which on
-  A100 means TF32 tensor-core matmuls at best — estimated at 40% MFU of
-  156 TFLOP/s peak = 62 TFLOP/s effective.  vs_baseline > 1 means this
-  framework on one v5e beats that estimate.
+* vs_baseline is an ESTIMATE BAND, not a measurement (no GPU exists in this
+  environment).  Two comparators are emitted per metric:
+  - "reference-as-written": the torch reference runs its attention/MLP block
+    bodies under fp32 autocast (ref: CleanGeneralDIT.py:509), which on A100
+    means TF32 tensor-core matmuls at best — estimated at 40% MFU of
+    156 TFLOP/s TF32 peak = 62 TFLOP/s effective.  The primary vs_baseline
+    divides by this.
+  - "strong-A100-port": a competent port of the same architecture to bf16
+    flash-attention on A100 — 312 TFLOP/s bf16 peak x ~50% MFU =
+    156 TFLOP/s effective (reported as vs_strong_port).  The honest upper
+    bound for "what would the reference cost if someone tuned it";
+    vs_strong_port > 1 means one v5e beats even that.
 
 Shape ladder (largest that fits the chip wins):
 1. full 7B (28 blocks), flagship 57f x 704x1280 latent -> 28,160 tokens
@@ -30,7 +36,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_EFFECTIVE_FLOPS = 62e12  # TF32 @ 40% MFU (see module docstring)
+# Comparator band (see module docstring): reference-as-written vs a strong
+# bf16 port.  Both are estimates; every report names which one it divides by.
+A100_REF_AS_WRITTEN_FLOPS = 62e12    # TF32 @ 40% MFU
+A100_STRONG_PORT_FLOPS = 156e12      # bf16 flash-attention @ ~50% MFU
 
 
 def dit_step_flops(cfg, l_tokens: int) -> tuple[float, float]:
@@ -168,26 +177,60 @@ def run_rung(metric, cfg, thw, dtype, quant) -> None:
         w // cfg.patch_spatial
     )
     flops_exec, flops_ref = dit_step_flops(cfg, tokens)
-    baseline_s = flops_ref / A100_EFFECTIVE_FLOPS
+    # Both comparators are charged the FLOPs the reference actually executes
+    # (incl. its per-token cross-attn projections, which this framework's CA
+    # collapse eliminates).  Estimates, not measurements: no GPU exists in
+    # this environment (see BASELINE.md).
+    base_ref_s = flops_ref / A100_REF_AS_WRITTEN_FLOPS
+    base_strong_s = flops_ref / A100_STRONG_PORT_FLOPS
     print(json.dumps({
         "metric": metric,
         "value": round(dt * 1e3, 2),
         "unit": "ms",
-        "vs_baseline": round(baseline_s / dt, 3),
-        # vs_baseline denominator is an ESTIMATE, not a measurement: the
-        # torch reference on A100 at TF32 tensor-core 40% MFU (62 TFLOP/s),
-        # charged with the FLOPs the reference actually executes (incl. its
-        # per-token cross-attn projections) — no GPU exists in this
-        # environment to measure (see BASELINE.md).
-        "baseline_note": "estimated A100-TF32 reference @ 40% MFU",
+        "vs_baseline": round(base_ref_s / dt, 3),
+        "baseline_note": "estimated A100 reference-as-written (TF32 @ 40% "
+                         "MFU, 62 TFLOP/s)",
+        "vs_strong_port": round(base_strong_s / dt, 3),
+        "strong_port_note": "estimated strong A100 port (bf16 flash @ ~50% "
+                            "MFU, 156 TFLOP/s)",
     }))
     print(
         f"# {tokens} tokens, {flops_exec/1e12:.1f} TFLOP/step executed "
         f"(ref executes {flops_ref/1e12:.1f}), achieved "
-        f"{flops_exec/dt/1e12:.1f} TFLOP/s; baseline = estimated A100 TF32 "
-        f"reference {baseline_s*1e3:.0f} ms",
+        f"{flops_exec/dt/1e12:.1f} TFLOP/s; comparator band: "
+        f"reference-as-written {base_ref_s*1e3:.0f} ms "
+        f"(vs_baseline {base_ref_s/dt:.2f}x), strong A100 port "
+        f"{base_strong_s*1e3:.0f} ms (vs_strong_port {base_strong_s/dt:.2f}x)",
         file=sys.stderr,
     )
+
+
+def run_shardcheck() -> None:
+    """COMPILED Pallas flash under shard_map on a real 1-device TPU mesh.
+
+    Off-TPU meshes run the kernel in interpret mode, so without this the
+    compiled-kernel-under-shard_map combination would be untested on real
+    hardware anywhere (BASELINE.md virtual-mesh caveat).  Checks numerics
+    against the directly-called kernel."""
+    from diffusionrenderer_tpu.ops.flash_attention import flash_attention
+    from diffusionrenderer_tpu.parallel.flash_sp import make_sp_attention
+    from diffusionrenderer_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(1, data=1, seq=1, tensor=1)
+    attn = make_sp_attention(mesh)
+    b, l, h, d = 1, 1024, 32, 128
+    q, k, v = (
+        jax.random.normal(jax.random.key(i), (b, l, h, d), jnp.bfloat16)
+        for i in range(3)
+    )
+    with mesh:
+        out = attn(q, k, v)
+    ref = flash_attention(q, k, v)
+    err = float(np.asarray(jnp.max(jnp.abs(
+        out.astype(jnp.float32) - ref.astype(jnp.float32)))))
+    assert err < 1e-2, f"shard_map flash drifted {err} from direct kernel"
+    print(f"# shard_map(flash) single-chip TPU check OK "
+          f"(max |delta| vs direct kernel: {err:.3g})", file=sys.stderr)
 
 
 def main() -> None:
@@ -214,6 +257,10 @@ def main() -> None:
                          adaln_lora_dim=16, crossattn_emb_channels=32)
         ladder = [("dit_step_ms_tiny_cpu", tiny, (1, 16, 16), jnp.float32,
                    None)]
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--shardcheck":
+        run_shardcheck()
+        return
 
     if len(sys.argv) > 1 and sys.argv[1].startswith("--rung="):
         # Subprocess mode: run exactly one rung by index.
@@ -250,6 +297,21 @@ def main() -> None:
         sys.stderr.write(proc.stderr[-2000:])
         if proc.returncode == 0 and proc.stdout.strip():
             sys.stdout.write(proc.stdout)
+            if on_tpu:
+                # Exercise the compiled kernel-under-shard_map path on the
+                # real chip (advisory: logged, never fails the bench).
+                try:
+                    sc = subprocess.run(
+                        [sys.executable, __file__, "--shardcheck"],
+                        capture_output=True, text=True, timeout=600,
+                    )
+                    sys.stderr.write(sc.stderr[-1000:])
+                    if sc.returncode != 0:
+                        print("# shardcheck failed (advisory)",
+                              file=sys.stderr)
+                except subprocess.TimeoutExpired:
+                    print("# shardcheck timed out (advisory)",
+                          file=sys.stderr)
             return
         last_err = f"rung {metric} rc={proc.returncode}"
         print(f"# {last_err}", file=sys.stderr)
