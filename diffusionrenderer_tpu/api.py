@@ -50,6 +50,8 @@ def load_pipeline(
     vae_config_json: Optional[str] = None,
     quantize_int8: bool = False,
     act_quant: bool = False,
+    quant_group_size: Optional[int] = None,
+    quant_keep_bf16: Sequence[str] = (),
     net_config: Optional[DiTConfig] = None,
     vae_config: Optional[VAEConfig] = None,
 ) -> DiffusionRendererPipeline:
@@ -94,13 +96,17 @@ def load_pipeline(
     if dit_checkpoint is not None:
         dit_params = load_dit_checkpoint(dit_checkpoint, net_cfg, dtype,
                                          quantize_int8=quantize_int8,
-                                         act_quant=act_quant)
+                                         act_quant=act_quant,
+                                         group_size=quant_group_size,
+                                         keep_bf16=quant_keep_bf16)
     else:
         dit_params = init_dit_params(jax.random.key(0), net_cfg, dtype)
         if quantize_int8:
             from .models.quant import quantize_dit_params
 
-            dit_params = quantize_dit_params(dit_params, act_quant=act_quant)
+            dit_params = quantize_dit_params(
+                dit_params, act_quant=act_quant,
+                group_size=quant_group_size, keep_bf16=quant_keep_bf16)
 
     vae_cfg = vae_config if vae_config is not None else VAEConfig()
     if vae_checkpoint is not None:

@@ -68,6 +68,8 @@ def convert_dit_state_dict(
     prefix: str = "net.",
     quantize_int8: bool = False,
     act_quant: bool = False,
+    group_size=None,
+    keep_bf16=(),
 ) -> Params:
     """Convert a reference-format torch state dict into our DiT pytree.
 
@@ -78,7 +80,9 @@ def convert_dit_state_dict(
     int8 ON THE HOST (numpy) before device placement — the single-chip
     deployment path for the 7B model (models/quant.py); act_quant=True
     additionally marks them for runtime int8 activation quantization (W8A8,
-    the MXU's 2x-throughput int8 path).
+    the MXU's 2x-throughput int8 path).  group_size selects per-group weight
+    scales (the accuracy-preserving int8 mode); keep_bf16 names matmuls
+    ("wo", "w2", or "mlp.w2" forms) left unquantized.
     """
     sd = {k: v for k, v in state_dict.items()}
     consumed = set()
@@ -100,13 +104,18 @@ def convert_dit_state_dict(
             np.stack([take(fmt.format(i=i)).T for i in range(nb)]), dtype
         )
 
-    def stack_matmul(fmt: str):
-        """Big matmul weights: optionally host-quantized to int8."""
+    keep = set(keep_bf16)
+
+    def stack_matmul(fmt: str, qname: str = ""):
+        """Big matmul weights: optionally host-quantized to int8.
+        qname is the "sub.name" id checked against keep_bf16."""
         stacked = np.stack([take(fmt.format(i=i)).T for i in range(nb)])
-        if quantize_int8:
+        name = qname.split(".")[-1]
+        if quantize_int8 and not (name in keep or qname in keep):
             from .models.quant import quantize_tensor_host
 
-            return quantize_tensor_host(stacked, act_quant=act_quant)
+            return quantize_tensor_host(stacked, act_quant=act_quant,
+                                        group_size=group_size)
         return jnp.asarray(stacked, dtype)
 
     def stack_vec(fmt: str) -> jnp.ndarray:
@@ -116,13 +125,14 @@ def convert_dit_state_dict(
 
     def attn_sub(j: int, ctx_in: bool) -> Params:
         base = f"blocks.block{{i}}.blocks.{j}."
+        sub = "fa" if j == 0 else "ca"
         return {
             "adaln_w1": stack_linear(base + "adaLN_modulation.1.weight"),
             "adaln_w2": stack_linear(base + "adaLN_modulation.2.weight"),
-            "wq": stack_matmul(base + "block.attn.to_q.0.weight"),
-            "wk": stack_matmul(base + "block.attn.to_k.0.weight"),
-            "wv": stack_matmul(base + "block.attn.to_v.0.weight"),
-            "wo": stack_matmul(base + "block.attn.to_out.0.weight"),
+            "wq": stack_matmul(base + "block.attn.to_q.0.weight", f"{sub}.wq"),
+            "wk": stack_matmul(base + "block.attn.to_k.0.weight", f"{sub}.wk"),
+            "wv": stack_matmul(base + "block.attn.to_v.0.weight", f"{sub}.wv"),
+            "wo": stack_matmul(base + "block.attn.to_out.0.weight", f"{sub}.wo"),
             "q_norm": stack_vec(base + "block.attn.to_q.1.weight"),
             "k_norm": stack_vec(base + "block.attn.to_k.1.weight"),
         }
@@ -148,8 +158,8 @@ def convert_dit_state_dict(
                 "adaln_w2": stack_linear(
                     "blocks.block{i}.blocks.2.adaLN_modulation.2.weight"
                 ),
-                "w1": stack_matmul("blocks.block{i}.blocks.2.block.layer1.weight"),
-                "w2": stack_matmul("blocks.block{i}.blocks.2.block.layer2.weight"),
+                "w1": stack_matmul("blocks.block{i}.blocks.2.block.layer1.weight", "mlp.w1"),
+                "w2": stack_matmul("blocks.block{i}.blocks.2.block.layer2.weight", "mlp.w2"),
             },
         },
         "final": {
@@ -269,6 +279,8 @@ def load_dit_checkpoint(
     dtype: jnp.dtype = jnp.bfloat16,
     quantize_int8: bool = False,
     act_quant: bool = False,
+    group_size=None,
+    keep_bf16=(),
 ) -> Params:
     """Load a DiT checkpoint from disk.
 
@@ -282,7 +294,7 @@ def load_dit_checkpoint(
         return restore_native(path)
     return convert_dit_state_dict(
         load_torch_file(path), cfg, dtype, quantize_int8=quantize_int8,
-        act_quant=act_quant,
+        act_quant=act_quant, group_size=group_size, keep_bf16=keep_bf16,
     )
 
 

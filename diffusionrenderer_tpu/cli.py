@@ -111,6 +111,10 @@ def _build_pipeline(args, model_type: str):
         quantize_int8=getattr(args, "int8", False)
         or getattr(args, "w8a8", False),
         act_quant=getattr(args, "w8a8", False),
+        quant_group_size=getattr(args, "quant_group", None),
+        quant_keep_bf16=tuple(
+            (getattr(args, "quant_keep_bf16", None) or "").split(",")
+        ) if getattr(args, "quant_keep_bf16", None) else (),
         net_config=net_config,
         vae_config=vae_config,
         compute_dtype=compute_dtype,
@@ -200,6 +204,9 @@ def cmd_convert(args) -> None:
         params = load_dit_checkpoint(
             args.dit, cfg, dtype,
             quantize_int8=args.int8 or args.w8a8, act_quant=args.w8a8,
+            group_size=args.quant_group,
+            keep_bf16=tuple((args.quant_keep_bf16 or "").split(","))
+            if args.quant_keep_bf16 else (),
         )
         out = os.path.join(args.out, "dit")
         save_native(out, params)
@@ -227,7 +234,12 @@ def cmd_convert(args) -> None:
     meta = {"tiny": bool(args.tiny)}
     if args.dit:
         meta["model_type"] = args.model_type
-        meta["quant"] = "w8a8" if args.w8a8 else ("w8" if args.int8 else None)
+        quant = "w8a8" if args.w8a8 else ("w8" if args.int8 else None)
+        if quant and args.quant_group:
+            quant += f"_g{args.quant_group}"
+        if quant and args.quant_keep_bf16:
+            quant += f"_keep[{args.quant_keep_bf16}]"
+        meta["quant"] = quant
     meta_path = os.path.join(args.out, "convert_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -290,6 +302,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         sp.add_argument("--w8a8", action="store_true",
                         help="int8 weights + runtime int8 activations "
                              "(2x MXU int8 path; small accuracy cost)")
+        sp.add_argument("--quant-group", dest="quant_group", type=int,
+                        default=None, metavar="N",
+                        help="per-group int8 weight scales over N input rows "
+                             "(accuracy-preserving mode; default per-channel)")
+        sp.add_argument("--quant-keep-bf16", dest="quant_keep_bf16",
+                        default=None, metavar="NAMES",
+                        help="comma-separated matmul names kept bf16 under "
+                             "--int8/--w8a8 (e.g. 'wo,w2')")
         sp.add_argument("--tiny", action="store_true",
                         help="scaled-down random model (plumbing smoke test)")
 
@@ -340,6 +360,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                     help="bake weight-only int8 quantization")
     sc.add_argument("--w8a8", action="store_true",
                     help="bake int8 weights + runtime-int8-activation marks")
+    sc.add_argument("--quant-group", dest="quant_group", type=int,
+                    default=None, metavar="N",
+                    help="per-group int8 weight scales over N input rows")
+    sc.add_argument("--quant-keep-bf16", dest="quant_keep_bf16",
+                    default=None, metavar="NAMES",
+                    help="comma-separated matmul names kept bf16 (e.g. 'wo,w2')")
     sc.add_argument("--tiny", action="store_true",
                     help="tiny architecture (matching --tiny checkpoints)")
     sc.add_argument("--skip-calibration", dest="skip_calibration",

@@ -13,6 +13,16 @@ Weight-only scheme ({'q','s'} leaves): for each big matmul weight W (in, out):
 XLA fuses the int8->bf16 convert into the matmul read, so the bf16
 dequantized copy exists only tile-by-tile, never materialized per block.
 
+Per-GROUP scales (group_size=g): scale[in_group, out] over g input rows
+instead of the whole column — max|N(0,s)| over 128 samples is ~3.3 vs ~4.25
+sigma over 4096, cutting quantization error ~22% (more on real checkpoints,
+whose outlier rows inflate whole-column scales).  Grouped leaves carry a
+rank+1 scale (..., G, out).  The weight-only grouped dequant multiplies the
+group scale into the int8 read (still fused); the grouped W8A8 matmul runs
+per-group int8 dots with int32 accumulation inside each group and an fp32
+scale-fold at group boundaries (see ops/quant_matmul.py for the Pallas
+kernel that does this without materializing L-sized temporaries).
+
 W8A8 scheme ({'q','sa'} leaves; the KEY NAME carries the mode so the pytree
 stays scannable — a bool marker leaf would need a stacked num_blocks axis):
 activations are additionally quantized per token at runtime
@@ -27,11 +37,13 @@ an opt-in speed/accuracy trade (CLI --w8a8).
 Only the stacked per-block matmuls (wq/wk/wv/wo, mlp w1/w2) are quantized —
 they are 97% of the parameters; AdaLN, norms, embedders and the final
 projection stay bf16 (they are tiny and modulation is precision-sensitive).
+`keep_bf16` exempts named matmuls (e.g. {"wo", "w2"} — the residual-stream
+projections) for mixed-precision deployment modes.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,12 +55,29 @@ QUANTIZED_BLOCK_WEIGHTS = {
 }
 
 
-def quantize_tensor(w: jax.Array, act_quant: bool = False) -> Dict[str, jax.Array]:
-    """(..., in, out) -> {'q': int8, 's'|'sa': fp32 per-(block, out) scales}.
+def quantize_tensor(w: jax.Array, act_quant: bool = False,
+                    group_size: Optional[int] = None) -> Dict[str, jax.Array]:
+    """(..., in, out) -> {'q': int8, 's'|'sa': fp32 scales}.
 
+    group_size=None: per-output-channel scales, shape (..., out).
+    group_size=g:    per-(input-group, output-channel), shape (..., G, out)
+                     with G = in/g (in must divide evenly).
     act_quant=True stores the scale under 'sa', marking the leaf for runtime
     int8 activation quantization (W8A8) in dense_maybe_quantized."""
     wf = w.astype(jnp.float32)
+    if group_size is not None and wf.shape[-2] % group_size != 0:
+        # Inputs narrower than (or not divisible by) the group — e.g. the
+        # 16-row cross-attention wk/wv — keep per-channel scales (a 16-row
+        # column IS one group).
+        group_size = None
+    if group_size is not None:
+        *lead, k, n = wf.shape
+        wg = wf.reshape(*lead, k // group_size, group_size, n)
+        amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+        scale = jnp.maximum(amax / 127.0, 1e-12)  # (..., G, 1, out)
+        q = jnp.clip(jnp.round(wg / scale), -127, 127).astype(jnp.int8)
+        return {"q": q.reshape(*lead, k, n),
+                ("sa" if act_quant else "s"): scale.squeeze(-2)}
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (..., 1, out)
     scale = jnp.maximum(amax / 127.0, 1e-12)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
@@ -59,8 +88,20 @@ def _wscale(wq: Dict[str, jax.Array]) -> jax.Array:
     return wq["sa"] if "sa" in wq else wq["s"]
 
 
+def _is_grouped(wq: Dict[str, jax.Array]) -> bool:
+    # Grouped scales have one more axis than per-channel: q (..., in, out)
+    # with scale (..., G, out) vs per-channel (..., out).
+    return _wscale(wq).ndim == wq["q"].ndim
+
+
 def dequantize_tensor(wq: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
-    return (wq["q"].astype(jnp.float32) * _wscale(wq)[..., None, :]).astype(dtype)
+    q, s = wq["q"], _wscale(wq)
+    if _is_grouped(wq):
+        *lead, k, n = q.shape
+        g = s.shape[-2]
+        wf = q.astype(jnp.float32).reshape(*lead, g, k // g, n) * s[..., :, None, :]
+        return wf.reshape(*lead, k, n).astype(dtype)
+    return (q.astype(jnp.float32) * s[..., None, :]).astype(dtype)
 
 
 def is_quantized(w: Any) -> bool:
@@ -68,20 +109,30 @@ def is_quantized(w: Any) -> bool:
 
 
 def quantize_dit_params(params: Dict[str, Any],
-                        act_quant: bool = False) -> Dict[str, Any]:
-    """Return a new params pytree with the stacked block matmuls int8."""
+                        act_quant: bool = False,
+                        group_size: Optional[int] = None,
+                        keep_bf16: Iterable[str] = ()) -> Dict[str, Any]:
+    """Return a new params pytree with the stacked block matmuls int8.
+
+    keep_bf16: matmul names ("wo", "w2", ...) or dotted "sub.name" forms
+    ("mlp.w2") left in bf16 — mixed-precision modes."""
+    keep = set(keep_bf16)
     out = dict(params)
     blocks = {}
     for sub, names in QUANTIZED_BLOCK_WEIGHTS.items():
         bp = dict(params["blocks"][sub])
         for name in names:
-            bp[name] = quantize_tensor(bp[name], act_quant=act_quant)
+            if name in keep or f"{sub}.{name}" in keep:
+                continue
+            bp[name] = quantize_tensor(bp[name], act_quant=act_quant,
+                                       group_size=group_size)
         blocks[sub] = bp
     out["blocks"] = blocks
     return out
 
 
-def quantize_tensor_host(w, act_quant: bool = False) -> Dict[str, Any]:
+def quantize_tensor_host(w, act_quant: bool = False,
+                         group_size: Optional[int] = None) -> Dict[str, Any]:
     """Host-side variant of quantize_tensor — used during checkpoint
     conversion so no fp32 device temporaries are created while the bf16
     weights are resident (that transient OOMs a 16 GB chip).
@@ -105,33 +156,112 @@ def quantize_tensor_host(w, act_quant: bool = False) -> Dict[str, Any]:
         t = torch.from_numpy(arr)
         if t.dtype != torch.float32:
             t = t.to(torch.float32)
+    skey = "sa" if act_quant else "s"
+    if group_size is not None and t.shape[-2] % group_size != 0:
+        group_size = None  # narrow inputs: per-channel (see quantize_tensor)
+    if group_size is not None:
+        *lead, k, n = t.shape
+        tg = t.reshape(*lead, k // group_size, group_size, n)
+        amax = tg.abs().amax(dim=-2, keepdim=True)
+        scale = torch.clamp(amax / 127.0, min=1e-12)
+        q = torch.round(tg / scale).clamp_(-127.0, 127.0).to(torch.int8)
+        return {"q": jnp.asarray(q.reshape(*lead, k, n).numpy()),
+                skey: jnp.asarray(scale.squeeze(-2).numpy())}
     amax = t.abs().amax(dim=-2, keepdim=True)
     scale = torch.clamp(amax / 127.0, min=1e-12)
     q = torch.round(t / scale).clamp_(-127.0, 127.0).to(torch.int8)
     return {"q": jnp.asarray(q.numpy()),
-            ("sa" if act_quant else "s"): jnp.asarray(scale.squeeze(-2).numpy())}
+            skey: jnp.asarray(scale.squeeze(-2).numpy())}
+
+
+def _use_fused_kernel(x: jax.Array, w: Dict[str, jax.Array]) -> bool:
+    """Route W8A8 matmuls through the fused Pallas kernel on TPU when the
+    shape is kernel-friendly: enough tokens to fill MXU tiles, and lane-
+    aligned contraction/output dims.  Tiny matmuls (the B-sized CA
+    projections) and CPU tests keep the XLA path."""
+    if jax.devices()[0].platform != "tpu":
+        return False
+    try:
+        from jax.interpreters import pxla
+
+        if not pxla.thread_resources.env.physical_mesh.empty:
+            # Under an active mesh (multi-chip generate): a pallas_call is
+            # not auto-partitionable by SPMD — keep the XLA path, which
+            # partitions cleanly under the Megatron shardings.
+            return False
+    except Exception:
+        pass
+    k, n = w["q"].shape[-2], w["q"].shape[-1]
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    if _is_grouped(w):
+        gsz = k // _wscale(w).shape[-2]
+        # Kernel group constraints: gsz multiple of 128, and either a
+        # multiple or a divisor of the k tile (512).
+        if gsz % 128 != 0 or (gsz % 512 != 0 and 512 % gsz != 0):
+            return False
+    return m >= 512 and k % 512 == 0 and n % 512 == 0
+
+
+def _quantize_activation(x: jax.Array):
+    """Per-token symmetric int8: returns (x_q int8, dequant fp32 per token).
+
+    The quantize multiply runs in x.dtype (bf16) — an fp32 quotient would
+    materialize a 2x-sized transient at flagship activation shapes — and the
+    dequant uses the EXACT inverse of the bf16 scale actually applied, so
+    the rounding of the scale itself cancels."""
+    amax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True)
+    inv = (127.0 / jnp.maximum(amax, 1e-12)).astype(x.dtype)
+    xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    return xq, 1.0 / inv.astype(jnp.float32)
 
 
 def dense_maybe_quantized(x: jax.Array, w: Any) -> jax.Array:
     """x @ w supporting bf16, {'q','s'} weight-only int8, or {'q','sa'} W8A8
-    weights; fp32 (or int32) accumulation."""
+    weights (each per-channel or per-group scaled); fp32 (or int32)
+    accumulation."""
     if not is_quantized(w):
         return jnp.einsum(
             "...i,io->...o", x, w, preferred_element_type=jnp.float32
         ).astype(x.dtype)
+    grouped = _is_grouped(w)
     if "sa" in w:
-        # W8A8: per-token dynamic activation scale, int8 MXU matmul.  The
-        # quantize multiply runs in x.dtype (bf16) — an fp32 quotient would
-        # materialize a 2x-sized transient at flagship activation shapes —
-        # and the dequant uses the EXACT inverse of the bf16 scale actually
-        # applied, so the rounding of the scale itself cancels.
-        amax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True)
-        inv = (127.0 / jnp.maximum(amax, 1e-12)).astype(x.dtype)
-        xq = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+        if _use_fused_kernel(x, w):
+            # Fused Pallas path (TPU, big shapes): activation quantize +
+            # int8 dot + group-scale folds inside the tile loop — no
+            # L-sized int8/int32 temporaries in HBM (NOTES item 7), and
+            # the only per-group-scale implementation that doesn't
+            # materialize a (..., G, out) partial.
+            from ..ops.quant_matmul import quant_matmul_w8a8
+
+            return quant_matmul_w8a8(x, w["q"], w["sa"])
+        xq, dequant = _quantize_activation(x)
+        if grouped:
+            # Per-group int8 dots, int32-accumulated within each group (max
+            # |sum| <= 127*127*g << 2^31), fp32 scale-fold across groups.
+            # XLA path: materializes a (..., G, out) partial — fine at probe
+            # shapes; flagship W8A8 routes through the fused Pallas kernel
+            # (ops/quant_matmul.py) instead.
+            k = xq.shape[-1]
+            g = w["sa"].shape[-2]
+            xg = xq.reshape(*xq.shape[:-1], g, k // g)
+            wg = w["q"].reshape(g, k // g, w["q"].shape[-1])
+            y = jnp.einsum("...gk,gko->...go", xg, wg,
+                           preferred_element_type=jnp.int32)
+            y = jnp.sum(y.astype(jnp.float32) * w["sa"], axis=-2)
+            return (y * dequant).astype(x.dtype)
         y = jnp.einsum("...i,io->...o", xq, w["q"],
                        preferred_element_type=jnp.int32)
-        dequant = 1.0 / inv.astype(jnp.float32)
         return (y.astype(jnp.float32) * dequant * w["sa"]).astype(x.dtype)
+    if grouped:
+        # Weight-only grouped: dequant rides the matmul operand read (the
+        # group-scale multiply fuses into the int8->bf16 convert).
+        y = jnp.einsum(
+            "...i,io->...o", x, dequantize_tensor(w, x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(x.dtype)
     y = jnp.einsum(
         "...i,io->...o", x, w["q"].astype(x.dtype),
         preferred_element_type=jnp.float32,

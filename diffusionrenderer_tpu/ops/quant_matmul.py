@@ -1,0 +1,206 @@
+"""Fused W8A8 quantize-matmul Pallas kernel (per-channel or per-group scales).
+
+Motivation (NOTES.md item 7 / VERDICT r3 items 1-2): the XLA W8A8 path
+materializes the per-token int8 activation copy and the int32 matmul result
+as L-sized HBM buffers — ~2 GiB of program temp at 56k tokens, which is what
+pushed long-video W8A8 out of memory.  Here the activation quantization and
+the dequant rescale live INSIDE the matmul tile loop: the only HBM traffic
+is x (bf16), wq (int8), the (M, 1) per-token scale, and the output.
+
+Also the vehicle for per-GROUP weight scales (the accuracy lever that closes
+the 40 dB gap): with per-channel scales an int32 accumulator runs the whole
+K axis and one fp32 rescale happens in the epilogue; with group scales the
+int32 accumulator folds into the fp32 accumulator once per group boundary —
+amortized VPU cost `3 ops / (2 * gsz) MXU-int-ops` per output element, i.e.
+~5% of MXU time at gsz=512 if nothing overlaps (Mosaic's scheduler overlaps
+most of it with the next tile's dot in practice).
+
+int32 safety: |x_q|, |w_q| <= 127 so a K-length int32 dot is bounded by
+K * 127^2 = 2.6e8 < 2^31 even at K=16384 — accumulation never overflows.
+
+Numerics match models/quant.dense_maybe_quantized exactly by construction:
+the activation quantize multiply runs in x.dtype (bf16) with the same
+round/clip, and the dequant divides by the same bf16-rounded scale (fp32
+reciprocal), so the scale rounding cancels identically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_M = 256
+DEFAULT_BLOCK_N = 512
+DEFAULT_BLOCK_K = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(x_ref, inv_ref, w_ref, s_ref, o_ref, acc_i32, acc_f32,
+            *, k_tiles: int, folds_per_tile: int, fold_every: int,
+            out_dtype):
+    """One (m, n) output tile; grid k axis is innermost ('arbitrary').
+
+    folds_per_tile > 0: `folds_per_tile` groups per k tile (gsz <= block_k);
+    fold_every > 0: one group spans `fold_every` k tiles (gsz >= block_k);
+    both 0: per-channel scales — single int32 run over all of K, one rescale
+    in the epilogue (s_ref then holds the (1, block_n) channel scales).
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_f32[:] = jnp.zeros_like(acc_f32)
+        acc_i32[:] = jnp.zeros_like(acc_i32)
+
+    # Quantize this activation tile in-register: x.dtype multiply + round,
+    # identical to models/quant._quantize_activation.  The round itself runs
+    # fp32 (Mosaic has no bf16 roundeven); the bf16 product converts to fp32
+    # exactly, so the rounded integer — and hence the int8 code — is
+    # identical to rounding in bf16.
+    inv = inv_ref[:].astype(x_ref.dtype)  # (block_m, 1)
+    prod = (x_ref[:] * inv).astype(jnp.float32)
+    xq = jnp.clip(jnp.round(prod), -127, 127).astype(jnp.int8)
+
+    if folds_per_tile > 0:
+        # Several groups inside one k tile: one dot + one fold per group.
+        gsz = xq.shape[-1] // folds_per_tile
+        for g in range(folds_per_tile):
+            part = jax.lax.dot_general(
+                xq[:, g * gsz:(g + 1) * gsz],
+                w_ref[g * gsz:(g + 1) * gsz, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc_f32[:] += part.astype(jnp.float32) * s_ref[g, :][None, :]
+    else:
+        acc_i32[:] += jax.lax.dot_general(
+            xq, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        if fold_every > 0:
+            # Group boundary: rescale the int32 run into fp32 and reset.
+            @pl.when((k + 1) % fold_every == 0)
+            def _fold():
+                acc_f32[:] += acc_i32[:].astype(jnp.float32) * s_ref[0, :][None, :]
+                acc_i32[:] = jnp.zeros_like(acc_i32)
+
+    @pl.when(k == k_tiles - 1)
+    def _epilogue():
+        dequant = 1.0 / inv_ref[:].astype(jnp.float32)  # exact bf16-scale inverse
+        if folds_per_tile > 0 or fold_every > 0:
+            total = acc_f32[:]
+        else:
+            total = acc_i32[:].astype(jnp.float32) * s_ref[0, :][None, :]
+        o_ref[:] = (total * dequant).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "interpret"),
+)
+def quant_matmul_w8a8(
+    x: jax.Array,
+    wq: jax.Array,
+    scale: jax.Array,
+    block_m: int = DEFAULT_BLOCK_M,
+    block_n: int = DEFAULT_BLOCK_N,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused per-token-int8-activation x int8-weight matmul.
+
+    x: (..., K) activations (bf16/fp32); wq: (K, N) int8 weights;
+    scale: (N,) per-channel or (G, N) per-group fp32 weight scales
+    (G must divide K; group size K/G a multiple of 128).
+    Returns (..., N) in x.dtype.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    *lead, k_dim = x.shape
+    n_dim = wq.shape[-1]
+    m_dim = 1
+    for s_ in lead:
+        m_dim *= s_
+    x2 = x.reshape(m_dim, k_dim)
+
+    # Per-token scale, computed where XLA can fuse it into the producer.
+    amax = jnp.max(jnp.abs(x2).astype(jnp.float32), axis=-1, keepdims=True)
+    inv = (127.0 / jnp.maximum(amax, 1e-12)).astype(x.dtype)  # (M, 1)
+
+    block_m = min(block_m, _round_up(m_dim, 8))
+    block_k = min(block_k, k_dim)
+    block_n = min(block_n, n_dim)
+    assert k_dim % block_k == 0, (k_dim, block_k)
+    assert n_dim % block_n == 0, (n_dim, block_n)
+
+    m_pad = _round_up(m_dim, block_m)
+    if m_pad != m_dim:
+        x2 = jnp.pad(x2, ((0, m_pad - m_dim), (0, 0)))
+        inv = jnp.pad(inv, ((0, m_pad - m_dim), (0, 0)),
+                      constant_values=jnp.asarray(1.0, inv.dtype))
+
+    grouped = scale.ndim == 2
+    k_tiles = k_dim // block_k
+    if grouped:
+        g = scale.shape[0]
+        gsz = k_dim // g
+        assert k_dim % g == 0, (k_dim, g)
+        if gsz >= block_k:
+            assert gsz % block_k == 0, (gsz, block_k)
+            folds_per_tile, fold_every = 0, gsz // block_k
+            # k tile -> its group row.
+            s_spec = pl.BlockSpec(
+                (1, block_n),
+                lambda m, n, kk, fe=fold_every: (kk // fe, n),
+            )
+        else:
+            assert block_k % gsz == 0 and gsz % 128 == 0, (block_k, gsz)
+            folds_per_tile, fold_every = block_k // gsz, 0
+            s_spec = pl.BlockSpec(
+                (block_k // gsz, block_n),
+                lambda m, n, kk: (kk, n),
+            )
+    else:
+        folds_per_tile, fold_every = 0, 0
+        scale = scale.reshape(1, n_dim)
+        s_spec = pl.BlockSpec((1, block_n), lambda m, n, kk: (0, n))
+
+    grid = (m_pad // block_m, n_dim // block_n, k_tiles)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, k_tiles=k_tiles, folds_per_tile=folds_per_tile,
+            fold_every=fold_every, out_dtype=x.dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda m, n, kk: (m, kk)),
+            pl.BlockSpec((block_m, 1), lambda m, n, kk: (m, 0)),
+            pl.BlockSpec((block_k, block_n), lambda m, n, kk: (kk, n)),
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda m, n, kk: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_dim), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, block_n), jnp.int32),
+            pltpu.VMEM((block_m, block_n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_dim * k_dim,
+            bytes_accessed=(m_pad * k_dim * x.dtype.itemsize
+                            + k_dim * n_dim + m_pad * n_dim * x.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, inv, wq, scale.astype(jnp.float32))
+    return out[:m_dim].reshape(*lead, n_dim)

@@ -77,18 +77,28 @@ def dit_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     col3 = _ns(mesh, None, None, AXIS_TENSOR)  # (nb, in, out): shard out
     row3 = _ns(mesh, None, AXIS_TENSOR, None)  # (nb, in, out): shard in
     scale_col = _ns(mesh, None, AXIS_TENSOR)   # (nb, out) int8 dequant scales
+    # Per-GROUP int8 scales are (nb, G, out): column-parallel shards `out`,
+    # row-parallel shards the input axis — i.e. the GROUP axis (each shard
+    # owns K/tp input rows = G/tp whole groups).
+    gscale_col = _ns(mesh, None, None, AXIS_TENSOR)
+    gscale_row = _ns(mesh, None, AXIS_TENSOR, None)
 
     def map_blocks(sub: str, name: str):
         leaf = params["blocks"][sub][name]
         quantized = isinstance(leaf, dict)  # {'q','s'|'sa'} int8 leaves
+        if quantized:
+            grouped = (leaf["sa"] if "sa" in leaf else leaf["s"]).ndim == 3
         if name in ("wq", "wk", "wv", "w1"):
             if quantized:
-                return {k: (col3 if k == "q" else scale_col) for k in leaf}
+                scale = gscale_col if grouped else scale_col
+                return {k: (col3 if k == "q" else scale) for k in leaf}
             return col3
         if name in ("wo", "w2"):
             if quantized:
-                # Row-sharded: out axis (and its scales) replicated.
-                return {k: (row3 if k == "q" else rep) for k in leaf}
+                # Row-sharded: out axis replicated; per-channel scales are
+                # replicated, per-group scales shard their group axis.
+                scale = gscale_row if grouped else rep
+                return {k: (row3 if k == "q" else scale) for k in leaf}
             return row3
         return rep
 

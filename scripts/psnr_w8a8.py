@@ -1,16 +1,21 @@
-"""W8A8 quantization accuracy at full 7B scale (NOTES.md item 3).
+"""int8 quantization accuracy at full 7B scale (NOTES.md item 3 /
+VERDICT r3 item 1).
 
 Runs BASELINE config #1 (single-frame 512x512 inverse, 15 EDM steps) through
-the FULL 7B pipeline twice on the chip — bf16 weights, then the same weights
-quantized to W8A8 (per-channel int8 weights + runtime per-token int8
-activations) — identical noise, and reports PSNR between the two uint8
-outputs.  Random-init weights (no real checkpoint in this environment), so
-this bounds the numeric damage of the int8 path through 15 steps x 28 blocks
-of accumulated quantization error, not task quality.
+the FULL 7B pipeline on the chip — bf16 weights first, then each requested
+quantized variant of the same weights — identical noise, and reports PSNR of
+each variant's uint8 output vs the bf16 run.  Random-init weights (no real
+checkpoint in this environment), so this bounds the numeric damage of the
+int8 path through 15 steps x 28 blocks of accumulated quantization error,
+not task quality.
 
-bf16 7B (13.5 GiB) fits the chip at 1,024 tokens; the two variants run
-sequentially and weights are dropped in between to stay under the HBM
-ceiling.
+Usage: python scripts/psnr_w8a8.py [mode ...]
+Modes: w8, w8a8 (per-output-channel scales), a _gN suffix selects per-group
+scales of N input rows (w8a8_g128, w8_g512, ...), a _keepres suffix keeps
+the residual-stream projections (wo, w2) bf16.  Default: w8 w8a8.
+
+bf16 7B (13.5 GiB) fits the chip at 1,024 tokens; variants run sequentially
+and weights are dropped in between to stay under the HBM ceiling.
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import gc
@@ -70,38 +75,74 @@ host_params = jax.tree_util.tree_map_with_path(_host_leaf, shapes)
 print("host init done", flush=True)
 
 
-def _quantize_host(params, act_quant):
+def _parse_mode(mode):
+    """'w8a8_g128_keepres' -> (act_quant, group_size, keep_bf16)."""
+    parts = mode.split("_")
+    assert parts[0] in ("w8", "w8a8"), mode
+    act_quant = parts[0] == "w8a8"
+    group_size = None
+    keep = ()
+    for p in parts[1:]:
+        if p.startswith("g"):
+            group_size = int(p[1:])
+        elif p == "keepres":
+            keep = ("wo", "w2")
+        else:
+            raise ValueError(f"unknown mode suffix {p!r} in {mode}")
+    return act_quant, group_size, keep
+
+
+def _quantize_host(params, act_quant, group_size=None, keep=()):
     out = dict(params)
     blocks = {}
     for sub, names in QUANTIZED_BLOCK_WEIGHTS.items():
         bp = {k: jnp.asarray(v) for k, v in params["blocks"][sub].items()
               if k not in names}
         for name in names:
-            bp[name] = quantize_tensor_host(params["blocks"][sub][name],
-                                            act_quant=act_quant)
+            src = params["blocks"][sub][name]
+            if name in keep or f"{sub}.{name}" in keep:
+                bp[name] = jnp.asarray(src)
+            else:
+                bp[name] = quantize_tensor_host(
+                    src, act_quant=act_quant, group_size=group_size)
         blocks[sub] = bp
     out["blocks"] = blocks
     return {k: (v if k == "blocks" else jax.tree.map(jnp.asarray, v))
             for k, v in out.items()}
 
 
-outs = {}
-for mode in ("bf16", "w8", "w8a8"):
-    if mode in ("w8", "w8a8"):
-        params = _quantize_host(host_params, act_quant=mode == "w8a8")
-    else:
+modes = sys.argv[1:] or ["w8", "w8a8"]
+# uint8 outputs are tiny (786 KB) — cache per-mode results on disk so an
+# interrupted sweep never re-runs finished modes (a bf16 run alone is ~9
+# minutes of upload+compile through the tunnel).
+CACHE = os.environ.get("PSNR_CACHE", "/tmp/psnr_quant_cache")
+os.makedirs(CACHE, exist_ok=True)
+
+
+def _run_mode(mode):
+    path = os.path.join(CACHE, f"{mode}.npy")
+    if os.path.exists(path):
+        print(f"{mode}: cached", flush=True)
+        return np.load(path).astype(np.float32)
+    if mode == "bf16":
         params = jax.tree.map(jnp.asarray, host_params)
+    else:
+        params = _quantize_host(host_params, *_parse_mode(mode))
     pipe = DiffusionRendererPipeline(params, vae, model_type="inverse",
                                      num_steps=15)
     t0 = time.perf_counter()
     out = np.asarray(pipe.generate(batch(), seed=42))
     print(f"{mode}: {time.perf_counter()-t0:.1f}s out={out.shape}", flush=True)
-    outs[mode] = out.astype(np.float32)
-    del params, pipe, out
+    np.save(path, out)
+    del params, pipe
     gc.collect()
     time.sleep(20)  # axon frees buffers asynchronously
+    return out.astype(np.float32)
 
-for mode in ("w8", "w8a8"):
-    p = psnr(outs["bf16"], outs[mode], peak=255.0)
+
+ref = _run_mode("bf16")
+for mode in modes:
+    out = _run_mode(mode)
+    p = psnr(ref, out, peak=255.0)
     print(f"PSNR_{mode.upper()}_VS_BF16_dB {p:.2f}  (full 7B, 512x512, "
           f"15 steps, identical noise)", flush=True)

@@ -154,6 +154,84 @@ class TestW8A8:
                 )(sharded))
             np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
 
+    def test_grouped_scales_reduce_error(self):
+        """Per-group scales must (a) dequantize with the documented error
+        bound per group, (b) produce strictly finer-grained error than
+        per-column on weights with outlier rows."""
+        from diffusionrenderer_tpu.models.quant import quantize_tensor_host
+
+        key = jax.random.key(7)
+        w = jax.random.normal(key, (2, 128, 64)) * 0.1
+        # Outlier rows: the per-column scale inflates, per-group contains it.
+        w = w.at[:, 3, :].mul(30.0)
+        for act_quant in (False, True):
+            skey = "sa" if act_quant else "s"
+            wq_col = quantize_tensor(w, act_quant=act_quant)
+            wq_grp = quantize_tensor(w, act_quant=act_quant, group_size=32)
+            assert wq_grp[skey].shape == (2, 4, 64)
+            err_col = float(jnp.mean(jnp.abs(
+                dequantize_tensor(wq_col, jnp.float32) - w)))
+            err_grp = float(jnp.mean(jnp.abs(
+                dequantize_tensor(wq_grp, jnp.float32) - w)))
+            assert err_grp < 0.35 * err_col, (err_grp, err_col)
+            # Host path must produce identical codes + scales.
+            host = quantize_tensor_host(np.asarray(w, np.float32),
+                                        act_quant=act_quant, group_size=32)
+            np.testing.assert_array_equal(np.asarray(host["q"]),
+                                          np.asarray(wq_grp["q"]))
+            np.testing.assert_allclose(np.asarray(host[skey]),
+                                       np.asarray(wq_grp[skey]), rtol=1e-6)
+
+    def test_grouped_forward_close_to_fp(self):
+        params = init_dit_params(jax.random.key(0), CFG, dtype=jnp.float32)
+        b, t, h, w = 1, 2, 8, 8
+        x = jax.random.normal(jax.random.key(1), (b, t, h, w, 16))
+        cond = jax.random.normal(jax.random.key(2), (b, t, h, w, 16))
+        sig = jnp.full((b,), 7.5)
+        ctx = jnp.zeros((b,), jnp.int32)
+        ref = np.asarray(dit_forward(params, x, sig, cond, ctx, CFG))
+        for act_quant in (False, True):
+            qp = quantize_dit_params(params, act_quant=act_quant,
+                                     group_size=32)
+            got = np.asarray(dit_forward(qp, x, sig, cond, ctx, CFG))
+            rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+            assert rel < 0.05, f"grouped act_quant={act_quant} rel={rel}"
+
+    def test_keep_bf16_exempts_residual_projections(self):
+        params = init_dit_params(jax.random.key(0), CFG, dtype=jnp.float32)
+        qp = quantize_dit_params(params, keep_bf16=("wo", "mlp.w2"))
+        assert not isinstance(qp["blocks"]["fa"]["wo"], dict)
+        assert not isinstance(qp["blocks"]["ca"]["wo"], dict)
+        assert not isinstance(qp["blocks"]["mlp"]["w2"], dict)
+        assert isinstance(qp["blocks"]["mlp"]["w1"], dict)
+        assert isinstance(qp["blocks"]["fa"]["wq"], dict)
+
+    def test_sharded_grouped_quantized_forward(self):
+        """Per-group int8 under the Megatron TP layout == unsharded."""
+        from diffusionrenderer_tpu.parallel import (
+            dit_param_shardings, make_mesh, shard_params,
+            token_sharding_constraint,
+        )
+
+        params = init_dit_params(jax.random.key(0), CFG, dtype=jnp.float32)
+        b, t, h, w = 2, 2, 8, 8
+        x = jax.random.normal(jax.random.key(1), (b, t, h, w, 16))
+        cond = jax.random.normal(jax.random.key(2), (b, t, h, w, 16))
+        sig = jnp.full((b,), 7.5)
+        ctx = jnp.zeros((b,), jnp.int32)
+        mesh = make_mesh(8)
+        qparams = quantize_dit_params(params, act_quant=True, group_size=32)
+        expected = np.asarray(dit_forward(qparams, x, sig, cond, ctx, CFG))
+        sharded = shard_params(qparams, dit_param_shardings(qparams, mesh))
+        constraint = token_sharding_constraint(mesh)
+        with mesh:
+            got = np.asarray(jax.jit(
+                lambda p: dit_forward(
+                    p, x, sig, cond, ctx, CFG,
+                    seq_sharding_constraint=constraint)
+            )(sharded))
+        np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
     def test_reset_dtype_keeps_scales_fp32(self):
         from diffusionrenderer_tpu.config import VAEConfig
         from diffusionrenderer_tpu.models.vae import init_vae_params
