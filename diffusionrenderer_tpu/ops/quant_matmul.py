@@ -18,10 +18,17 @@ most of it with the next tile's dot in practice).
 int32 safety: |x_q|, |w_q| <= 127 so a K-length int32 dot is bounded by
 K * 127^2 = 2.6e8 < 2^31 even at K=16384 — accumulation never overflows.
 
-Numerics match models/quant.dense_maybe_quantized exactly by construction:
-the activation quantize multiply runs in x.dtype (bf16) with the same
-round/clip, and the dequant divides by the same bf16-rounded scale (fp32
-reciprocal), so the scale rounding cancels identically.
+Numerics: the per-token scale is the same bf16-rounded 127/amax as
+models/quant._quantize_activation and the dequant divides by exactly that
+scale (fp32 reciprocal), so the scale rounding cancels identically.  One
+deliberate difference: the quantize multiply x*inv runs in fp32 here (the
+tile is in registers — no memory cost), while the XLA fallback rounds the
+product to bf16 (an fp32 product there would materialize a 2x-sized HBM
+transient at flagship shapes).  fp32 is the more accurate quantize; for
+bf16 inputs the two paths may differ by +-1 int8 code on entries whose
+bf16-rounded product sits on the other side of a .5 boundary (~9% of
+entries, bounded by one activation quantization step).  For fp32 inputs
+the integer cores are bit-identical (tests/test_quant_matmul.py).
 """
 
 from __future__ import annotations
@@ -60,13 +67,19 @@ def _kernel(x_ref, inv_ref, w_ref, s_ref, o_ref, acc_i32, acc_f32,
         acc_f32[:] = jnp.zeros_like(acc_f32)
         acc_i32[:] = jnp.zeros_like(acc_i32)
 
-    # Quantize this activation tile in-register: x.dtype multiply + round,
-    # identical to models/quant._quantize_activation.  The round itself runs
-    # fp32 (Mosaic has no bf16 roundeven); the bf16 product converts to fp32
-    # exactly, so the rounded integer — and hence the int8 code — is
-    # identical to rounding in bf16.
-    inv = inv_ref[:].astype(x_ref.dtype)  # (block_m, 1)
-    prod = (x_ref[:] * inv).astype(jnp.float32)
+    # Quantize this activation tile in-register, EXPLICITLY in fp32: the
+    # product x*inv is upcast before the multiply so every backend (Mosaic,
+    # interpret) rounds the same fp32 product.  A bf16-dtype multiply here is
+    # backend-dependent — interpret (and Mosaic's fp32 VPU registers) keep
+    # the product at fp32 precision instead of rounding it to bf16, which
+    # made the int8 code differ by +-1 from the XLA path's bf16-rounded
+    # product on ~9% of entries.  fp32 is the MORE accurate quantize; the
+    # XLA fallback path keeps the bf16 product for memory (see
+    # models/quant._quantize_activation), so kernel-vs-XLA bf16 outputs may
+    # differ by +-1 int8 code.  inv is still the bf16-rounded scale, so the
+    # epilogue's 1/inv dequant cancels the applied scale exactly.
+    inv = inv_ref[:].astype(jnp.float32)  # (block_m, 1)
+    prod = x_ref[:].astype(jnp.float32) * inv
     xq = jnp.clip(jnp.round(prod), -127, 127).astype(jnp.int8)
 
     if folds_per_tile > 0:

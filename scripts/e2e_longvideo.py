@@ -23,13 +23,15 @@ from diffusionrenderer_tpu.utils.profiling import metrics
 import logging; logging.basicConfig(level=logging.INFO)
 
 T = 121
+QUANT = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
 
 net = DiTConfig()
-# Weight-only int8, NOT w8a8: the runtime activation-quant path costs
-# +2.06 GiB of temp at 56,320 tokens (measured memory_analysis: 8.19 vs
-# 6.13 GiB), which pushes the denoise program over HBM next to the 6.74 GiB
-# weights + VAE + pixel buffers.  w8 fits: ~13.7 GiB total.
-dit = _init_bf16(net, jax.random.key(0), jnp.bfloat16, quant="w8")
+# w8a8 default: the fused Pallas quantize-matmul (ops/quant_matmul.py) keeps
+# the activation quantization inside the tile loop, so the +2.06 GiB of
+# L-sized int8/int32 temporaries that used to OOM this config (XLA-path
+# memory_analysis: 8.19 vs 6.13 GiB temp) never reach HBM.  Pass 'w8' to
+# reproduce the weight-only fallback mode.
+dit = _init_bf16(net, jax.random.key(0), jnp.bfloat16, quant=QUANT)
 vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 pipe = DiffusionRendererPipeline(dit, vae, model_type="inverse", num_steps=15)
 pipe.decode_chunk_frames = 2  # latent frames per decode dispatch at T_lat=16
@@ -48,6 +50,6 @@ t0 = time.perf_counter()
 out = pipe.generate({"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)},
                     seed=43)
 dt = time.perf_counter() - t0
-print(f"E2E_LONGVIDEO_STEADY_S {dt:.1f}  ({T} frames @ 704x1280, "
+print(f"E2E_LONGVIDEO_STEADY_S {dt:.1f}  [{QUANT}] ({T} frames @ 704x1280, "
       f"{T/dt:.3f} frames/s/chip, 56,320-token denoise)", flush=True)
 print(json.dumps(metrics.summary(), indent=1), flush=True)
