@@ -233,6 +233,42 @@ def run_shardcheck() -> None:
           f"(max |delta| vs direct kernel: {err:.3g})", file=sys.stderr)
 
 
+def run_qmmcheck() -> None:
+    """COMPILED fused W8A8 kernel integer-exactness on the real chip.
+
+    Interpret-mode tests can't catch Mosaic lowering bugs (round 4 found the
+    grouped-scale BlockSpec was illegal on real TPU while interpret mode
+    passed), so the compiled kernel is checked here: per-token scales are
+    forced to exactly 1.0 (row amax 127) so per-channel output must equal an
+    int64 host matmul exactly, and grouped folds must match an fp64 oracle to
+    1 fp32 ULP of the accumulator with power-of-two scales."""
+    from diffusionrenderer_tpu.ops.quant_matmul import quant_matmul_w8a8
+
+    rng = np.random.default_rng(0)
+    m, k, n = 512, 2048, 512
+    q = rng.integers(-127, 128, (k, n), dtype=np.int8)
+    xi = rng.integers(-126, 127, (m, k)).astype(np.float32)
+    xi[:, 0] = 127.0  # amax exactly 127 -> inv == 1.0, codes == x
+    x, wq = jnp.asarray(xi), jnp.asarray(q)
+    ref = xi.astype(np.int64) @ q.astype(np.int64)
+    got = np.asarray(quant_matmul_w8a8(x, wq, jnp.ones((n,), jnp.float32),
+                                       interpret=False), np.float64)
+    assert np.array_equal(got, ref), "per-channel compiled kernel not exact"
+    for gsz in (128, 512, 1024):
+        sg = (2.0 ** rng.integers(-3, 3, (k // gsz, n))).astype(np.float32)
+        got = np.asarray(quant_matmul_w8a8(x, wq, jnp.asarray(sg),
+                                           interpret=False), np.float64)
+        yg = np.einsum("lgk,gko->lgo",
+                       xi.astype(np.int64).reshape(m, k // gsz, gsz),
+                       q.astype(np.int64).reshape(k // gsz, gsz, n))
+        refg = (yg * sg.astype(np.float64)[None]).sum(1)
+        tol = np.abs(refg).max() * 2.0**-23  # 1 fp32 ULP of the accumulator
+        err = np.abs(got - refg).max()
+        assert err <= tol, f"g{gsz} compiled kernel fold drift {err} > {tol}"
+    print("# compiled W8A8 kernel on-chip check OK (per-channel exact; "
+          "grouped folds within 1 fp32 ULP)", file=sys.stderr)
+
+
 def main() -> None:
     from diffusionrenderer_tpu.config import DiTConfig
     from diffusionrenderer_tpu.models.dit import dit_param_count
@@ -260,6 +296,10 @@ def main() -> None:
 
     if len(sys.argv) > 1 and sys.argv[1] == "--shardcheck":
         run_shardcheck()
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--qmmcheck":
+        run_qmmcheck()
         return
 
     if len(sys.argv) > 1 and sys.argv[1].startswith("--rung="):
@@ -298,20 +338,22 @@ def main() -> None:
         if proc.returncode == 0 and proc.stdout.strip():
             sys.stdout.write(proc.stdout)
             if on_tpu:
-                # Exercise the compiled kernel-under-shard_map path on the
-                # real chip (advisory: logged, never fails the bench).
-                try:
-                    sc = subprocess.run(
-                        [sys.executable, __file__, "--shardcheck"],
-                        capture_output=True, text=True, timeout=600,
-                    )
-                    sys.stderr.write(sc.stderr[-1000:])
-                    if sc.returncode != 0:
-                        print("# shardcheck failed (advisory)",
+                # Exercise the compiled kernel-under-shard_map and compiled
+                # fused-W8A8-kernel paths on the real chip (advisory:
+                # logged, never fails the bench).
+                for flag in ("--shardcheck", "--qmmcheck"):
+                    try:
+                        sc = subprocess.run(
+                            [sys.executable, __file__, flag],
+                            capture_output=True, text=True, timeout=600,
+                        )
+                        sys.stderr.write(sc.stderr[-1000:])
+                        if sc.returncode != 0:
+                            print(f"# {flag} failed (advisory)",
+                                  file=sys.stderr)
+                    except subprocess.TimeoutExpired:
+                        print(f"# {flag} timed out (advisory)",
                               file=sys.stderr)
-                except subprocess.TimeoutExpired:
-                    print("# shardcheck timed out (advisory)",
-                          file=sys.stderr)
             return
         last_err = f"rung {metric} rc={proc.returncode}"
         print(f"# {last_err}", file=sys.stderr)

@@ -220,7 +220,15 @@ def _quantize_activation(x: jax.Array):
 def dense_maybe_quantized(x: jax.Array, w: Any) -> jax.Array:
     """x @ w supporting bf16, {'q','s'} weight-only int8, or {'q','sa'} W8A8
     weights (each per-channel or per-group scaled); fp32 (or int32)
-    accumulation."""
+    accumulation.
+
+    Routing-dependent numerics (ADVICE r3): the fused kernel path quantizes
+    the fp32 activation product while this module's XLA fallback rounds the
+    product to bf16 first, so single-chip flagship shapes (kernel) and
+    multi-chip / small shapes (XLA) may differ by +-1 int8 activation code on
+    ~9% of entries.  Multi-chip-vs-single-chip parity checks must therefore
+    compare with activation-quantization-noise tolerance, not exactly
+    (see ops/quant_matmul.py docstring for the bound)."""
     if not is_quantized(w):
         return jnp.einsum(
             "...i,io->...o", x, w, preferred_element_type=jnp.float32

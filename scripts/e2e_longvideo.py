@@ -24,6 +24,9 @@ import logging; logging.basicConfig(level=logging.INFO)
 
 T = 121
 QUANT = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
+if QUANT not in ("w8", "w8a8"):
+    sys.exit(f"usage: {sys.argv[0]} [w8|w8a8]  (got {QUANT!r}; bench._init_bf16 "
+             f"silently builds weight-only leaves for anything != 'w8a8')")
 
 net = DiTConfig()
 # w8a8 default: the fused Pallas quantize-matmul (ops/quant_matmul.py) keeps

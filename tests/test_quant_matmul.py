@@ -52,7 +52,13 @@ class TestQuantMatmul:
         """bf16 input with lead dims: the kernel quantizes the fp32 product
         (strictly more accurate than the XLA path's bf16-rounded product —
         see ops/quant_matmul.py docstring), so the reference here recomputes
-        the same fp32-product quantize rather than dense_maybe_quantized."""
+        the same fp32-product quantize rather than dense_maybe_quantized.
+        The int8 codes are bit-identical (same XLA pre-pass); the fp32
+        group-fold order inside the kernel is not guaranteed to round
+        identically to the einsum reference (Mosaic may contract mul+add to
+        an FMA), so the final bf16 outputs are compared to 1 bf16 ULP
+        (ADVICE r3: round 3 shipped this as strict equality and it failed on
+        2/262,144 entries)."""
         b, l, k, n = 2, 256, 1024, 512
         x = jax.random.normal(jax.random.key(4), (b, l, k), jnp.bfloat16)
         w = jax.random.normal(jax.random.key(5), (k, n), jnp.float32) * 0.1
@@ -72,9 +78,14 @@ class TestQuantMatmul:
                        preferred_element_type=jnp.int32)
         y = jnp.sum(y.astype(jnp.float32) * wq["sa"], axis=-2)
         ref = (y * (1.0 / inv.astype(jnp.float32))).astype(x.dtype)
-        np.testing.assert_array_equal(
-            np.asarray(got, np.float32),
-            np.asarray(ref.reshape(b, l, n), np.float32))
+        got32 = np.asarray(got, np.float32)
+        ref32 = np.asarray(ref.reshape(b, l, n), np.float32)
+        # 1 bf16 ULP of v lies in (|v|*2^-8, |v|*2^-7]; |ref|*2^-7 therefore
+        # upper-bounds one ULP everywhere (and admits at most one).
+        tol = np.maximum(np.abs(ref32), np.float32(2**-126)) * 2.0**-7
+        mismatch = np.abs(got32 - ref32) > tol
+        assert not mismatch.any(), (
+            f"{mismatch.sum()} entries beyond 1 bf16 ULP of the fp32 oracle")
 
         # And the two paths stay within activation-quantization noise of
         # each other: +-1 int8 code on ~9% of entries accumulates to well
