@@ -174,11 +174,30 @@ def quantize_tensor_host(w, act_quant: bool = False,
             skey: jnp.asarray(scale.squeeze(-2).numpy())}
 
 
+# Above this many tokens the XLA per-channel W8A8 path's L-sized int8/int32
+# temporaries become the single-chip OOM risk (measured round 2: +2.06 GiB
+# program temp at 56,320 tokens, which tipped the 121-frame job over HBM) —
+# the fused kernel keeps the int32 result in VMEM scratch.  Below it, XLA
+# per-channel measured FASTER than the kernel on-chip (round 4
+# scripts/bench_quant_matmul.py at M=28160: XLA 35.4 ms vs kernel-best
+# 39.9 ms at the MLP-up shape), so flagship per-channel stays on XLA.
+_KERNEL_MIN_TOKENS_PER_CHANNEL = 45_000
+
+
 def _use_fused_kernel(x: jax.Array, w: Dict[str, jax.Array]) -> bool:
-    """Route W8A8 matmuls through the fused Pallas kernel on TPU when the
-    shape is kernel-friendly: enough tokens to fill MXU tiles, and lane-
-    aligned contraction/output dims.  Tiny matmuls (the B-sized CA
-    projections) and CPU tests keep the XLA path."""
+    """Route W8A8 matmuls through the fused Pallas kernel on TPU when
+    measurement says it wins (table in BASELINE.md, round 4):
+
+    * GROUPED scales: always (when the shape is kernel-legal).  The XLA
+      grouped path materializes an fp32 (G, N, L) partial — 59 GB at the
+      flagship MLP-up shape, a compile-time OOM — and even where it fits it
+      measured 2.4x slower.  The kernel is the only viable grouped path.
+    * PER-CHANNEL scales: only in the long-video memory regime
+      (>= _KERNEL_MIN_TOKENS_PER_CHANNEL tokens); at flagship token counts
+      XLA per-channel measured ~13% faster at the MLP shapes.
+
+    Tiny matmuls (the B-sized CA projections), CPU tests, and active-mesh
+    (multi-chip) calls keep the XLA path."""
     if jax.devices()[0].platform != "tpu":
         return False
     try:
@@ -195,13 +214,14 @@ def _use_fused_kernel(x: jax.Array, w: Dict[str, jax.Array]) -> bool:
     m = 1
     for s in x.shape[:-1]:
         m *= s
+    if m < 512 or k % 512 != 0 or n % 512 != 0:
+        return False
     if _is_grouped(w):
         gsz = k // _wscale(w).shape[-2]
         # Kernel group constraints: gsz multiple of 128, and either a
         # multiple or a divisor of the k tile (512).
-        if gsz % 128 != 0 or (gsz % 512 != 0 and 512 % gsz != 0):
-            return False
-    return m >= 512 and k % 512 == 0 and n % 512 == 0
+        return gsz % 128 == 0 and (gsz % 512 == 0 or 512 % gsz == 0)
+    return m >= _KERNEL_MIN_TOKENS_PER_CHANNEL
 
 
 def _quantize_activation(x: jax.Array):
@@ -248,16 +268,26 @@ def dense_maybe_quantized(x: jax.Array, w: Any) -> jax.Array:
         if grouped:
             # Per-group int8 dots, int32-accumulated within each group (max
             # |sum| <= 127*127*g << 2^31), fp32 scale-fold across groups.
-            # XLA path: materializes a (..., G, out) partial — fine at probe
-            # shapes; flagship W8A8 routes through the fused Pallas kernel
-            # (ops/quant_matmul.py) instead.
+            # XLA path: scans over groups with one (..., out) fp32
+            # accumulator — an einsum producing the (..., G, out) partial is
+            # 59 GB at the flagship MLP-up shape (measured compile-time OOM,
+            # round 4), and this fallback must stay viable under multi-chip
+            # meshes where the Pallas kernel doesn't route.
             k = xq.shape[-1]
+            n = w["q"].shape[-1]
             g = w["sa"].shape[-2]
-            xg = xq.reshape(*xq.shape[:-1], g, k // g)
-            wg = w["q"].reshape(g, k // g, w["q"].shape[-1])
-            y = jnp.einsum("...gk,gko->...go", xg, wg,
-                           preferred_element_type=jnp.int32)
-            y = jnp.sum(y.astype(jnp.float32) * w["sa"], axis=-2)
+            xg = jnp.moveaxis(xq.reshape(*xq.shape[:-1], g, k // g), -2, 0)
+            wg = w["q"].reshape(g, k // g, n)
+            sg = jnp.moveaxis(w["sa"], -2, 0)
+
+            def _fold(acc, gi):
+                xq_i, wq_i, s_i = gi
+                part = jnp.einsum("...k,ko->...o", xq_i, wq_i,
+                                  preferred_element_type=jnp.int32)
+                return acc + part.astype(jnp.float32) * s_i, None
+
+            acc0 = jnp.zeros((*xq.shape[:-1], n), jnp.float32)
+            y, _ = jax.lax.scan(_fold, acc0, (xg, wg, sg))
             return (y * dequant).astype(x.dtype)
         y = jnp.einsum("...i,io->...o", xq, w["q"],
                        preferred_element_type=jnp.int32)

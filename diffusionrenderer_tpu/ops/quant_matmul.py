@@ -53,8 +53,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Defaults from the round-4 on-chip sweep (scripts/bench_quant_matmul.py
+# --sweep 28160, 9 configs x 3 flagship shapes, table in BASELINE.md):
+# (512, 1024, 512) is best at both MLP shapes (94.7 / 92.7 TF/s vs 87.4 /
+# 87.2 at the old (256,512,512)-clamped-to-512 default) and within noise of
+# best at the d x d projection.
 DEFAULT_BLOCK_M = 512
-DEFAULT_BLOCK_N = 512
+DEFAULT_BLOCK_N = 1024
 DEFAULT_BLOCK_K = 512
 
 

@@ -99,7 +99,18 @@ for m in MS:
                                              jnp.float32))]:
             w = {"q": wq, "sa": scale}
             tk = _time(quant_matmul_w8a8, x, wq, scale)
-            tx = _time(jax.jit(xla_path), x, w)
+            try:
+                tx = _time(jax.jit(xla_path), x, w)
+            except Exception as e:  # noqa: BLE001
+                # The XLA grouped path materializes an f32 (G, N, L) partial
+                # — 59 GB at the flagship MLP-up shape, a guaranteed
+                # compile-time OOM.  Report it as such: the kernel is the
+                # only viable grouped path at these shapes.
+                print(f"M={m} {name} {tag}: kernel {tk*1e3:7.2f} ms "
+                      f"({flops/tk/1e12:6.1f} TF/s)  xla FAILED "
+                      f"({type(e).__name__}: compile-time OOM on the "
+                      f"(G,N,L) partial)", flush=True)
+                continue
             print(f"M={m} {name} {tag}: kernel {tk*1e3:7.2f} ms "
                   f"({flops/tk/1e12:6.1f} TF/s)  xla {tx*1e3:7.2f} ms "
                   f"({flops/tx/1e12:6.1f} TF/s)  kernel/xla "
