@@ -97,11 +97,19 @@ def _init_bf16_build(cfg, key, dtype, quant=None):
     st = lambda shape: jnp.zeros((nb, *shape), dtype)
     if quant:
         # Big matmul weights only (AdaLN stays bf16, as in models/quant.py).
-        skey = "sa" if quant == "w8a8" else "s"
-        stq = lambda shape: {
-            "q": jnp.zeros((nb, *shape), jnp.int8),
-            skey: jnp.full((nb, shape[-1]), 0.01, jnp.float32),
-        }
+        # quant is 'w8'/'w8a8' with an optional '_gN' suffix for per-group
+        # scales of N input rows (e.g. 'w8a8_g128').
+        base, _, gtag = quant.partition("_g")
+        skey = "sa" if base == "w8a8" else "s"
+        gsz = int(gtag) if gtag else None
+        def stq(shape):
+            k, n = shape[-2], shape[-1]
+            if gsz and k % gsz == 0:
+                sshape = (nb, k // gsz, n)
+            else:  # narrow inputs (CA wk/wv): per-channel, as models/quant
+                sshape = (nb, n)
+            return {"q": jnp.zeros((nb, *shape), jnp.int8),
+                    skey: jnp.full(sshape, 0.01, jnp.float32)}
     else:
         stq = st
     ones = lambda shape: jnp.ones(shape, dtype)

@@ -294,7 +294,10 @@ def dense_maybe_quantized(x: jax.Array, w: Any) -> jax.Array:
         return (y.astype(jnp.float32) * dequant * w["sa"]).astype(x.dtype)
     if grouped:
         # Weight-only grouped: dequant rides the matmul operand read (the
-        # group-scale multiply fuses into the int8->bf16 convert).
+        # group-scale multiply fuses into the int8->bf16 convert).  Verified
+        # by memory_analysis round 4 (scripts/mem_w8a8_longvideo.py w8_g128
+        # at 56,320 tokens): program temp 6.06 GiB grouped vs 6.13 GiB
+        # per-channel — no materialized full-size bf16 weight copy.
         y = jnp.einsum(
             "...i,io->...o", x, dequantize_tensor(w, x.dtype),
             preferred_element_type=jnp.float32,

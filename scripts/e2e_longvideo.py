@@ -24,16 +24,19 @@ import logging; logging.basicConfig(level=logging.INFO)
 
 T = 121
 QUANT = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
-if QUANT not in ("w8", "w8a8"):
-    sys.exit(f"usage: {sys.argv[0]} [w8|w8a8]  (got {QUANT!r}; bench._init_bf16 "
-             f"silently builds weight-only leaves for anything != 'w8a8')")
+if QUANT not in ("w8", "w8a8", "w8_g128", "w8a8_g128"):
+    sys.exit(f"usage: {sys.argv[0]} [w8|w8a8|w8_g128|w8a8_g128]  (got "
+             f"{QUANT!r}; bench._init_bf16 parses base + optional _gN group "
+             f"suffix and anything else would silently run weight-only)")
 
 net = DiTConfig()
-# w8a8 default: the fused Pallas quantize-matmul (ops/quant_matmul.py) keeps
-# the activation quantization inside the tile loop, so the +2.06 GiB of
-# L-sized int8/int32 temporaries that used to OOM this config (XLA-path
-# memory_analysis: 8.19 vs 6.13 GiB temp) never reach HBM.  Pass 'w8' to
-# reproduce the weight-only fallback mode.
+# w8a8 default: at 56,320 tokens per-channel W8A8 routes through the fused
+# Pallas matmul kernel (models/quant._use_fused_kernel), which keeps the
+# int32 matmul result in VMEM scratch.  Measured round 4
+# (scripts/mem_w8a8_longvideo.py): denoise program temp 6.67 GiB vs the
+# XLA path's 8.19 GiB (round 2) that OOM'd this config — only +0.54 GiB
+# over weight-only int8 (6.13 GiB), peak(temp+args) 13.28 GiB < ~14.5
+# usable.  Pass 'w8' to reproduce the weight-only fallback mode.
 dit = _init_bf16(net, jax.random.key(0), jnp.bfloat16, quant=QUANT)
 vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 pipe = DiffusionRendererPipeline(dit, vae, model_type="inverse", num_steps=15)
