@@ -97,12 +97,15 @@ def _init_bf16_build(cfg, key, dtype, quant=None):
     st = lambda shape: jnp.zeros((nb, *shape), dtype)
     if quant:
         # Big matmul weights only (AdaLN stays bf16, as in models/quant.py).
-        # quant is 'w8'/'w8a8' with an optional '_gN' suffix for per-group
-        # scales of N input rows (e.g. 'w8a8_g128').
-        base, _, gtag = quant.partition("_g")
-        skey = "sa" if base == "w8a8" else "s"
-        gsz = int(gtag) if gtag else None
-        def stq(shape):
+        # quant is any models/quant.parse_quant_mode string, e.g. 'w8a8',
+        # 'w8_g128', 'w8a8_g128_keepres' (mixed-precision deployment modes).
+        from diffusionrenderer_tpu.models.quant import parse_quant_mode
+
+        act_quant, gsz, keep = parse_quant_mode(quant)
+        skey = "sa" if act_quant else "s"
+        def stq(name, shape):
+            if name in keep:
+                return st(shape)
             k, n = shape[-2], shape[-1]
             if gsz and k % gsz == 0:
                 sshape = (nb, k // gsz, n)
@@ -111,7 +114,7 @@ def _init_bf16_build(cfg, key, dtype, quant=None):
             return {"q": jnp.zeros((nb, *shape), jnp.int8),
                     skey: jnp.full(sshape, 0.01, jnp.float32)}
     else:
-        stq = st
+        stq = lambda name, shape: st(shape)
     ones = lambda shape: jnp.ones(shape, dtype)
     params = {
         "x_embedder": {"weight": w((cfg.patch_dim, d))},
@@ -119,15 +122,15 @@ def _init_bf16_build(cfg, key, dtype, quant=None):
         "affline_norm": {"weight": ones((d,))},
         "blocks": {
             "fa": {"adaln_w1": st((d, r)), "adaln_w2": st((r, 3 * d)),
-                   "wq": stq((d, d)), "wk": stq((d, d)), "wv": stq((d, d)),
-                   "wo": stq((d, d)), "q_norm": ones((nb, dh)),
-                   "k_norm": ones((nb, dh))},
+                   "wq": stq("wq", (d, d)), "wk": stq("wk", (d, d)),
+                   "wv": stq("wv", (d, d)), "wo": stq("wo", (d, d)),
+                   "q_norm": ones((nb, dh)), "k_norm": ones((nb, dh))},
             "ca": {"adaln_w1": st((d, r)), "adaln_w2": st((r, 3 * d)),
-                   "wq": stq((d, d)), "wk": stq((ctx, d)), "wv": stq((ctx, d)),
-                   "wo": stq((d, d)), "q_norm": ones((nb, dh)),
-                   "k_norm": ones((nb, dh))},
+                   "wq": stq("wq", (d, d)), "wk": stq("wk", (ctx, d)),
+                   "wv": stq("wv", (ctx, d)), "wo": stq("wo", (d, d)),
+                   "q_norm": ones((nb, dh)), "k_norm": ones((nb, dh))},
             "mlp": {"adaln_w1": st((d, r)), "adaln_w2": st((r, 3 * d)),
-                    "w1": stq((d, hid)), "w2": stq((hid, d))},
+                    "w1": stq("w1", (d, hid)), "w2": stq("w2", (hid, d))},
         },
         "final": {"adaln_w1": w((d, r)), "adaln_w2": w((r, 2 * d)),
                   "linear": w((d, cfg.patch_spatial**2 * cfg.patch_temporal
@@ -291,6 +294,10 @@ def main() -> None:
             # dense matmuls on the MXU's 2x-throughput int8 path.
             ("dit_step_ms_7b_flagship_28160tok_w8a8", DiTConfig(),
              (8, 88, 160), jnp.bfloat16, "w8a8"),
+            # Grouped-scale deployment mode (accuracy ladder, BASELINE.md);
+            # not the headline — run explicitly with --rung=1.
+            ("dit_step_ms_7b_flagship_28160tok_w8a8_g128", DiTConfig(),
+             (8, 88, 160), jnp.bfloat16, "w8a8_g128"),
             ("dit_step_ms_7b_flagship_28160tok_int8w", DiTConfig(),
              (8, 88, 160), jnp.bfloat16, "w8"),
             ("dit_step_ms_7b_512x512_1024tok", DiTConfig(), (1, 64, 64),

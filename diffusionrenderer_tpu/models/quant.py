@@ -131,6 +131,38 @@ def quantize_dit_params(params: Dict[str, Any],
     return out
 
 
+def parse_quant_mode(mode: str):
+    """Parse a deployment quant-mode string into quantize_dit_params kwargs:
+    'w8a8_g128_keepres' -> (act_quant=True, group_size=128, keep=('w2','wo')).
+
+    Grammar: base 'w8' (weight-only) or 'w8a8' (+ runtime int8 activations),
+    then any of: '_gN' per-group scales of N input rows; '_keepres' keeps the
+    residual-stream projections (wo, w2) bf16; '_keepattn' keeps all four
+    attention projections bf16 (MLP-only int8).  Shared by bench.py, the CLI
+    and the measurement scripts so every surface names modes identically
+    (the accuracy ladder for these modes is in BASELINE.md)."""
+    parts = mode.split("_")
+    if parts[0] not in ("w8", "w8a8"):
+        raise ValueError(f"unknown quant mode {mode!r} (base must be "
+                         "w8 or w8a8)")
+    act_quant = parts[0] == "w8a8"
+    group_size = None
+    keep = set()
+    for p in parts[1:]:
+        if p.startswith("g") and p[1:].isdigit():
+            group_size = int(p[1:])
+        elif p == "keepres":
+            keep |= {"wo", "w2"}
+        elif p == "keepattn":
+            # All attention projections bf16, MLP w1/w2 int8: bf16 ~5.6 GiB
+            # + int8 ~3.5 GiB of block weights — still a single-chip
+            # flagship fit (vs 13.5 GiB all-bf16, which is not).
+            keep |= {"wq", "wk", "wv", "wo"}
+        else:
+            raise ValueError(f"unknown mode suffix {p!r} in {mode}")
+    return act_quant, group_size, tuple(sorted(keep))
+
+
 def quantize_tensor_host(w, act_quant: bool = False,
                          group_size: Optional[int] = None) -> Dict[str, Any]:
     """Host-side variant of quantize_tensor — used during checkpoint

@@ -24,10 +24,11 @@ import logging; logging.basicConfig(level=logging.INFO)
 
 T = 121
 QUANT = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
-if QUANT not in ("w8", "w8a8", "w8_g128", "w8a8_g128"):
-    sys.exit(f"usage: {sys.argv[0]} [w8|w8a8|w8_g128|w8a8_g128]  (got "
-             f"{QUANT!r}; bench._init_bf16 parses base + optional _gN group "
-             f"suffix and anything else would silently run weight-only)")
+try:
+    from diffusionrenderer_tpu.models.quant import parse_quant_mode
+    parse_quant_mode(QUANT)  # validate: a typo must not silently run w8
+except ValueError as e:
+    sys.exit(f"usage: {sys.argv[0]} [w8|w8a8|w8a8_g128|...]: {e}")
 
 net = DiTConfig()
 # w8a8 default: at 56,320 tokens per-channel W8A8 routes through the fused

@@ -12,7 +12,8 @@ not task quality.
 Usage: python scripts/psnr_w8a8.py [mode ...]
 Modes: w8, w8a8 (per-output-channel scales), a _gN suffix selects per-group
 scales of N input rows (w8a8_g128, w8_g512, ...), a _keepres suffix keeps
-the residual-stream projections (wo, w2) bf16.  Default: w8 w8a8.
+the residual-stream projections (wo, w2) bf16, a _keepattn suffix keeps all
+four attention projections bf16 (MLP-only int8).  Default: w8 w8a8.
 
 bf16 7B (13.5 GiB) fits the chip at 1,024 tokens; variants run sequentially
 and weights are dropped in between to stay under the HBM ceiling.
@@ -25,7 +26,7 @@ import jax, jax.numpy as jnp, numpy as np
 from diffusionrenderer_tpu.config import DiTConfig, VAEConfig
 from diffusionrenderer_tpu.models.dit import init_dit_params
 from diffusionrenderer_tpu.models.quant import (
-    QUANTIZED_BLOCK_WEIGHTS, quantize_tensor_host,
+    QUANTIZED_BLOCK_WEIGHTS, parse_quant_mode, quantize_tensor_host,
 )
 from diffusionrenderer_tpu.models.vae import init_vae_params
 from diffusionrenderer_tpu.pipeline import DiffusionRendererPipeline
@@ -75,23 +76,6 @@ host_params = jax.tree_util.tree_map_with_path(_host_leaf, shapes)
 print("host init done", flush=True)
 
 
-def _parse_mode(mode):
-    """'w8a8_g128_keepres' -> (act_quant, group_size, keep_bf16)."""
-    parts = mode.split("_")
-    assert parts[0] in ("w8", "w8a8"), mode
-    act_quant = parts[0] == "w8a8"
-    group_size = None
-    keep = ()
-    for p in parts[1:]:
-        if p.startswith("g"):
-            group_size = int(p[1:])
-        elif p == "keepres":
-            keep = ("wo", "w2")
-        else:
-            raise ValueError(f"unknown mode suffix {p!r} in {mode}")
-    return act_quant, group_size, keep
-
-
 def _quantize_host(params, act_quant, group_size=None, keep=()):
     out = dict(params)
     blocks = {}
@@ -127,7 +111,7 @@ def _run_mode(mode):
     if mode == "bf16":
         params = jax.tree.map(jnp.asarray, host_params)
     else:
-        params = _quantize_host(host_params, *_parse_mode(mode))
+        params = _quantize_host(host_params, *parse_quant_mode(mode))
     pipe = DiffusionRendererPipeline(params, vae, model_type="inverse",
                                      num_steps=15)
     t0 = time.perf_counter()
