@@ -294,10 +294,13 @@ def main() -> None:
             # dense matmuls on the MXU's 2x-throughput int8 path.
             ("dit_step_ms_7b_flagship_28160tok_w8a8", DiTConfig(),
              (8, 88, 160), jnp.bfloat16, "w8a8"),
-            # Grouped-scale deployment mode (accuracy ladder, BASELINE.md);
-            # not the headline — run explicitly with --rung=1.
+            # Grouped-scale / mixed-precision deployment modes (accuracy
+            # ladder, BASELINE.md); not the headline — run explicitly with
+            # --rung=1 / --rung=2.
             ("dit_step_ms_7b_flagship_28160tok_w8a8_g128", DiTConfig(),
              (8, 88, 160), jnp.bfloat16, "w8a8_g128"),
+            ("dit_step_ms_7b_flagship_28160tok_w8a8_g128_keepres",
+             DiTConfig(), (8, 88, 160), jnp.bfloat16, "w8a8_g128_keepres"),
             ("dit_step_ms_7b_flagship_28160tok_int8w", DiTConfig(),
              (8, 88, 160), jnp.bfloat16, "w8"),
             ("dit_step_ms_7b_512x512_1024tok", DiTConfig(), (1, 64, 64),
