@@ -327,6 +327,17 @@ def main() -> None:
         run_rung(metric, cfg, thw, dtype, quant)
         return
 
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--mode="):
+        # Ad-hoc rung: step-time ANY accuracy-ladder quant mode (w8a8_g32,
+        # w8_g32_keepres_keepattn, ...) at the flagship shape without
+        # growing the permanent rung list.
+        from diffusionrenderer_tpu.models.quant import parse_quant_mode
+        mode = sys.argv[1].split("=", 1)[1]
+        parse_quant_mode(mode)  # validate before paying the compile
+        run_rung(f"dit_step_ms_7b_flagship_28160tok_{mode}", DiTConfig(),
+                 (8, 88, 160), jnp.bfloat16, mode)
+        return
+
     # Parent mode: try rungs in isolated subprocesses — a failed (OOM) rung
     # must not poison device memory for the next one.
     import subprocess
