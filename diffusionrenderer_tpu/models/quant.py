@@ -305,6 +305,28 @@ def dense_maybe_quantized(x: jax.Array, w: Any) -> jax.Array:
             # 59 GB at the flagship MLP-up shape (measured compile-time OOM,
             # round 4), and this fallback must stay viable under multi-chip
             # meshes where the Pallas kernel doesn't route.
+            #
+            # On single-chip TPU this branch only fires when the group size
+            # is kernel-illegal (gsz below the 128-lane alignment minimum,
+            # e.g. g32): measured round 4 at the flagship shape, the scan is
+            # ~10x slower than per-channel (39.1 s/step w8a8_g32_keepres)
+            # and one attempt crashed the tunnel TPU worker.  g32 is a
+            # weight-only deployment mode (fused dequant); warn loudly at
+            # trace time so a misconfigured job is diagnosable.
+            import math as _math
+            import warnings
+
+            _m = _math.prod(x.shape[:-1])
+            if _m >= 8192 and jax.devices()[0].platform == "tpu":
+                warnings.warn(
+                    f"grouped W8A8 matmul ({x.shape} @ {w['q'].shape}, "
+                    f"group size {w['q'].shape[-2] // w['sa'].shape[-2]}) is "
+                    "taking the XLA group-scan fallback on TPU — measured "
+                    "~10x slower than per-channel at flagship scale. Use a "
+                    "group size >= 128 (fused kernel) or weight-only int8 "
+                    "for small groups (see BASELINE.md rung step times).",
+                    stacklevel=2,
+                )
             k = xq.shape[-1]
             n = w["q"].shape[-1]
             g = w["sa"].shape[-2]

@@ -23,7 +23,7 @@ from diffusionrenderer_tpu.utils.profiling import metrics
 import logging; logging.basicConfig(level=logging.INFO)
 
 T = 121
-QUANT = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
+QUANT = sys.argv[1] if len(sys.argv) > 1 else "w8"
 try:
     from diffusionrenderer_tpu.models.quant import parse_quant_mode
     parse_quant_mode(QUANT)  # validate: a typo must not silently run w8
@@ -31,13 +31,15 @@ except ValueError as e:
     sys.exit(f"usage: {sys.argv[0]} [w8|w8a8|w8a8_g128|...]: {e}")
 
 net = DiTConfig()
-# w8a8 default: at 56,320 tokens per-channel W8A8 routes through the fused
-# Pallas matmul kernel (models/quant._use_fused_kernel), which keeps the
-# int32 matmul result in VMEM scratch.  Measured round 4
-# (scripts/mem_w8a8_longvideo.py): denoise program temp 6.67 GiB vs the
-# XLA path's 8.19 GiB (round 2) that OOM'd this config — only +0.54 GiB
-# over weight-only int8 (6.13 GiB), peak(temp+args) 13.28 GiB < ~14.5
-# usable.  Pass 'w8' to reproduce the weight-only fallback mode.
+# w8 default — the measured fastest long-video mode (round 4, both run
+# end-to-end on the chip): weight-only int8 249.3 s steady vs W8A8 332.6 s.
+# W8A8 at this length routes through the fused Pallas matmul kernel
+# (models/quant._use_fused_kernel), which FIXED round 2's OOM — the int32
+# matmul result stays in VMEM scratch (memory_analysis, scripts/
+# mem_w8a8_longvideo.py: denoise temp 6.67 GiB vs the XLA path's 8.19 GiB;
+# peak(temp+args) 13.28 GiB < ~14.5 usable) — but the kernel's ~95 TFLOP/s
+# int8 rate loses to XLA's bf16 matmuls (~160 TFLOP/s) at 56,320 tokens,
+# so fitting != winning.  Pass 'w8a8' to reproduce the 332.6 s run.
 dit = _init_bf16(net, jax.random.key(0), jnp.bfloat16, quant=QUANT)
 vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
 pipe = DiffusionRendererPipeline(dit, vae, model_type="inverse", num_steps=15)
