@@ -174,6 +174,31 @@ def _prep_input_video(image) -> np.ndarray:
     return to_signed_range(np.asarray(to_5d_video(to_float32(arr))))
 
 
+def _job_fingerprint(video: np.ndarray, pipeline, seed: int,
+                     guidance: float) -> Dict[str, Any]:
+    """Identity of a multi-pass job for resume-safety checks.
+
+    The input digest hashes shape/dtype plus a ~1 MiB stride-sample of the
+    raw bytes — a full sha256 of a 616 MB flagship video costs seconds on
+    this class of host, and the sample plus exact shape/dtype/params is
+    ample to refuse resuming a *different* job (the failure mode guarded
+    against is operator error, not adversarial collisions)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr((video.shape, str(video.dtype))).encode())
+    flat = video.reshape(-1).view(np.uint8)  # view: _prep output is contiguous
+    step = max(1, flat.size // (1 << 20))
+    h.update(np.ascontiguousarray(flat[::step]).tobytes())
+    return {
+        "input": h.hexdigest(),
+        "seed": int(seed),
+        "guidance": float(guidance),
+        "num_steps": int(pipeline.num_steps),
+        "model_type": "inverse",
+    }
+
+
 def inverse_render(
     pipeline: DiffusionRendererPipeline,
     image,
@@ -181,6 +206,7 @@ def inverse_render(
     seed: int = 42,
     passes: Sequence[str] = INVERSE_PASSES,
     batch_passes: bool = True,
+    resume_dir: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """RGB video -> G-buffers (Cosmos1InverseRenderer equivalent,
     ref: nodes.py:130-215).
@@ -189,6 +215,15 @@ def inverse_render(
     diffusion (distinct context_index per batch row) — the reference loops
     them serially (ref: nodes.py:187-213).  Returns {pass: (B*T, H, W, C)
     float32 in [0,1]}.
+
+    resume_dir makes the job durable against preemption (the flagship
+    5-pass job is ~5 minutes of chip time): each completed pass's raw
+    uint8 output is written atomically to <resume_dir>/<pass>.npy, and a
+    re-run with the same arguments loads finished passes from disk and
+    computes only the rest.  A manifest records the job identity (input
+    digest, seed, guidance, steps); resuming with a mismatched job raises
+    instead of silently mixing outputs.  Forces the serial path — the
+    batched variant is one all-or-nothing dispatch with nothing to resume.
     """
     pipeline.set_model_type("inverse")
     pipeline.guidance = guidance
@@ -202,6 +237,34 @@ def inverse_render(
 
     indices = [GBUFFER_INDEX_MAPPING[p] for p in passes]
     outputs: Dict[str, np.ndarray] = {}
+
+    done: Dict[str, np.ndarray] = {}
+    if resume_dir is not None:
+        import json
+
+        batch_passes = False
+        fp = _job_fingerprint(video, pipeline, seed, guidance)
+        os.makedirs(resume_dir, exist_ok=True)
+        manifest_path = os.path.join(resume_dir, "manifest.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                existing = json.load(f)
+            if existing != fp:
+                mismatch = [k for k in fp if existing.get(k) != fp[k]]
+                raise ValueError(
+                    f"resume_dir {resume_dir!r} holds a different job "
+                    f"(mismatched: {mismatch}); point at a fresh directory "
+                    "or delete the stale one"
+                )
+        else:
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(fp, f)
+            os.replace(tmp, manifest_path)
+        for p in passes:
+            path = os.path.join(resume_dir, f"{p}.npy")
+            if os.path.exists(path):
+                done[p] = np.load(path)
 
     if batch_passes and len(passes) > 1:
         # One upload + ONE VAE encode for all n pass rows: the latent is
@@ -231,25 +294,36 @@ def inverse_render(
         from .utils.hostops import u8_to_unit_float
         from .utils.profiling import phase_timer
 
-        with phase_timer("api/upload_input"):
-            vid_dev = pipeline.prepare_pixel_input(video)
+        todo = [p for p in passes if p not in done]
         raw: Dict[str, Any] = {}
-        for p in passes:
-            ctx = jnp.full((b,), GBUFFER_INDEX_MAPPING[p], jnp.int32)
-            with phase_timer("api/generate_pass"):
-                # defer_fetch: pass p's device->host readback overlaps pass
-                # p+1's compute (dispatches are async).
-                raw[p] = pipeline.generate(
-                    {"rgb": vid_dev, "video": vid_dev, "context_index": ctx},
-                    normalize_normal=(p == "normal"),
-                    seed=seed,
-                    defer_fetch=True,
-                )
+        if todo:
+            with phase_timer("api/upload_input"):
+                vid_dev = pipeline.prepare_pixel_input(video)
+            for p in todo:
+                ctx = jnp.full((b,), GBUFFER_INDEX_MAPPING[p], jnp.int32)
+                with phase_timer("api/generate_pass"):
+                    # defer_fetch: pass p's device->host readback overlaps
+                    # pass p+1's compute (dispatches are async).
+                    raw[p] = pipeline.generate(
+                        {"rgb": vid_dev, "video": vid_dev,
+                         "context_index": ctx},
+                        normalize_normal=(p == "normal"),
+                        seed=seed,
+                        defer_fetch=True,
+                    )
         for p in passes:
             with phase_timer("api/fetch_convert_output"):
-                outputs[p] = u8_to_unit_float(
-                    np.asarray(raw.pop(p))
-                ).reshape(b * t, h, w, c)
+                if p in done:
+                    raw_u8 = done[p]
+                else:
+                    raw_u8 = np.asarray(raw.pop(p))
+                    if resume_dir is not None:
+                        # Atomic per-pass durability: a job killed mid-write
+                        # resumes from the last fully-written pass.
+                        path = os.path.join(resume_dir, f"{p}.npy")
+                        np.save(path + ".tmp.npy", raw_u8)
+                        os.replace(path + ".tmp.npy", path)
+                outputs[p] = u8_to_unit_float(raw_u8).reshape(b * t, h, w, c)
     return outputs
 
 

@@ -131,7 +131,8 @@ def cmd_inverse(args) -> None:
     pipe = _build_pipeline(args, "inverse")
     passes = tuple(args.passes.split(","))
     out = inverse_render(pipe, video, guidance=args.guidance, seed=args.seed,
-                         passes=passes)
+                         passes=passes,
+                         resume_dir=getattr(args, "resume_dir", None))
     os.makedirs(args.output_dir, exist_ok=True)
     for name, frames in out.items():
         _save_frames(frames, os.path.join(args.output_dir, f"{name}.png"))
@@ -319,6 +320,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     si.add_argument("--output-dir", required=True)
     si.add_argument("--passes",
                     default="basecolor,metallic,roughness,normal,depth")
+    si.add_argument("--resume-dir", dest="resume_dir", default=None,
+                    help="directory for per-pass durability: finished "
+                         "passes are saved here and a re-run after "
+                         "preemption computes only the missing ones")
     si.set_defaults(fn=cmd_inverse)
 
     sf = sub.add_parser("forward", help="G-buffers + HDR env -> RGB")

@@ -190,6 +190,86 @@ class TestInverseAPI:
         assert out["depth"].shape == (1, 16, 16, 3)
 
 
+class TestResume:
+    """Per-pass durability of the serial multi-pass job (api.inverse_render
+    resume_dir): preempted jobs resume from the last completed pass."""
+
+    PASSES = ("basecolor", "normal", "depth")
+
+    def test_fresh_run_saves_and_matches_plain(self, inv_pipe, tmp_path):
+        img = np.random.default_rng(10).uniform(size=(1, 16, 16, 3)).astype(
+            np.float32
+        )
+        a = inverse_render(inv_pipe, img, passes=self.PASSES,
+                           resume_dir=str(tmp_path))
+        assert (tmp_path / "manifest.json").exists()
+        for p in self.PASSES:
+            assert (tmp_path / f"{p}.npy").exists()
+        b = inverse_render(inv_pipe, img, passes=self.PASSES,
+                           batch_passes=False)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    def test_resume_computes_only_missing_passes(self, inv_pipe, tmp_path):
+        img = np.random.default_rng(11).uniform(size=(1, 16, 16, 3)).astype(
+            np.float32
+        )
+        first = inverse_render(inv_pipe, img, passes=self.PASSES,
+                               resume_dir=str(tmp_path))
+        # Simulate preemption after the first pass completed.
+        (tmp_path / "normal.npy").unlink()
+        (tmp_path / "depth.npy").unlink()
+        calls = []
+        orig = inv_pipe.generate
+
+        def counting_generate(*args, **kw):
+            calls.append(1)
+            return orig(*args, **kw)
+
+        inv_pipe.generate = counting_generate
+        try:
+            resumed = inverse_render(inv_pipe, img, passes=self.PASSES,
+                                     resume_dir=str(tmp_path))
+        finally:
+            inv_pipe.generate = orig
+        assert len(calls) == 2  # basecolor loaded from disk
+        for k in first:
+            np.testing.assert_array_equal(first[k], resumed[k])
+
+    def test_fully_complete_job_recomputes_nothing(self, inv_pipe, tmp_path):
+        img = np.random.default_rng(12).uniform(size=(1, 16, 16, 3)).astype(
+            np.float32
+        )
+        first = inverse_render(inv_pipe, img, passes=self.PASSES,
+                               resume_dir=str(tmp_path))
+        orig = inv_pipe.generate
+        inv_pipe.generate = lambda *a, **k: pytest.fail(
+            "complete job must not dispatch"
+        )
+        try:
+            again = inverse_render(inv_pipe, img, passes=self.PASSES,
+                                   resume_dir=str(tmp_path))
+        finally:
+            inv_pipe.generate = orig
+        for k in first:
+            np.testing.assert_array_equal(first[k], again[k])
+
+    def test_mismatched_job_refused(self, inv_pipe, tmp_path):
+        img = np.random.default_rng(13).uniform(size=(1, 16, 16, 3)).astype(
+            np.float32
+        )
+        inverse_render(inv_pipe, img, passes=self.PASSES, seed=1,
+                       resume_dir=str(tmp_path))
+        with pytest.raises(ValueError, match="different job"):
+            inverse_render(inv_pipe, img, passes=self.PASSES, seed=2,
+                           resume_dir=str(tmp_path))
+        other = np.random.default_rng(14).uniform(
+            size=(1, 16, 16, 3)).astype(np.float32)
+        with pytest.raises(ValueError, match="different job"):
+            inverse_render(inv_pipe, other, passes=self.PASSES, seed=1,
+                           resume_dir=str(tmp_path))
+
+
 class TestForwardAPI:
     @pytest.mark.parametrize("env_format", ["proj", "proj_direct", "ball"])
     def test_forward_relighting(self, fwd_pipe, env_format):
