@@ -22,6 +22,7 @@ import dataclasses
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -55,7 +56,14 @@ class ServingExecutor:
         self.max_wait_s = max_wait_ms / 1000.0
         self._queue: "queue.Queue[Optional[Request]]" = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
-        self._running = True
+        # _state_lock orders submits against shutdown: a request is either
+        # enqueued strictly before the shutdown sentinel (FIFO guarantees the
+        # worker sees it) or the submit raises — no future can be accepted
+        # and then silently never resolve.
+        self._state_lock = threading.Lock()
+        self._accepting = True
+        self._abort = False
+        self._backlog: "deque[Request]" = deque()  # worker-local only
         self._worker.start()
 
     # -- public API ---------------------------------------------------------
@@ -83,18 +91,50 @@ class ServingExecutor:
             tuple(sorted(data_batch)),
         )
         fut: Future = Future()
-        self._queue.put(Request(data_batch, seed, normalize_normal, fut, bucket))
+        with self._state_lock:
+            if not self._accepting:
+                raise RuntimeError("ServingExecutor is shut down")
+            self._queue.put(
+                Request(data_batch, seed, normalize_normal, fut, bucket)
+            )
         return fut
 
-    def shutdown(self) -> None:
-        self._running = False
-        self._queue.put(None)
-        self._worker.join(timeout=30)
+    def shutdown(self, drain: bool = True, join_timeout: float = 30.0) -> None:
+        """Stop the executor.  Every future ever returned by `submit` is
+        guaranteed to complete: with drain=True (default) accepted requests
+        are dispatched before the worker exits; with drain=False pending
+        requests fail fast with RuntimeError (in-flight device work still
+        finishes — a dispatched XLA program cannot be aborted).  Subsequent
+        `submit` calls raise.  Idempotent."""
+        with self._state_lock:
+            self._accepting = False
+            if not drain:
+                self._abort = True
+            self._queue.put(None)
+        self._worker.join(timeout=join_timeout)
+        # Safety net (idempotent re-shutdown, worker join timeout): fail
+        # anything still queued rather than leaving futures forever-pending.
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None and not r.future.done():
+                r.future.set_exception(
+                    RuntimeError("ServingExecutor shut down before dispatch")
+                )
 
     # -- worker -------------------------------------------------------------
 
     def _collect_batch(self) -> List[Request]:
-        first = self._queue.get()
+        # The worker-local backlog holds requests deferred by bucketing; it
+        # is always drained before the shared queue so a deferred request
+        # can never land BEHIND the shutdown sentinel (which would turn a
+        # graceful drain into a dropped request).
+        if self._backlog:
+            first: Optional[Request] = self._backlog.popleft()
+        else:
+            first = self._queue.get()
         if first is None:
             return []
         batch = [first]
@@ -103,6 +143,11 @@ class ServingExecutor:
         # open for up to max_batch x max_wait while request 0 waits.
         deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
+            if self._backlog:
+                if self._backlog[0].bucket == first.bucket:
+                    batch.append(self._backlog.popleft())
+                    continue
+                break  # head-of-line different bucket: it dispatches next
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
@@ -114,19 +159,25 @@ class ServingExecutor:
                 self._queue.put(None)  # re-signal shutdown
                 break
             if nxt.bucket != first.bucket:
-                # Different bucket: run it in its own dispatch (requeue).
-                self._queue.put(nxt)
+                # Different bucket: defer to its own dispatch.
+                self._backlog.append(nxt)
                 break
             batch.append(nxt)
         return batch
 
     def _run(self) -> None:
-        while self._running:
+        while True:
             batch = self._collect_batch()
             if not batch:
-                if not self._running or self._queue.empty():
-                    if not self._running:
-                        return
+                # Sentinel reached.  FIFO + the submit/shutdown lock mean
+                # every accepted request was already collected: exit.
+                return
+            if self._abort:
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(
+                            RuntimeError("ServingExecutor aborted")
+                        )
                 continue
             try:
                 self._dispatch(batch)

@@ -5,3 +5,4 @@ from .train import (
     make_optimizer,
     make_train_step,
 )
+from .loop import train_loop

@@ -1,0 +1,127 @@
+"""Durable training loop: periodic orbax checkpoints + bit-exact auto-resume.
+
+The reference is inference-only — its checkpoint story is load-only and it
+has no retry/elasticity of any kind (SURVEY §5: "Failure detection / elastic
+recovery: absent").  On TPU fleets preemption is routine, so this framework's
+training loop is durable by construction rather than by wrapper scripts:
+
+* **Periodic atomic saves.**  Every `save_every` steps (and at the final
+  step) the full TrainState — params, optimizer state, step counter — is
+  written through orbax's CheckpointManager.  Orbax writes to a temp dir and
+  renames, so a kill mid-save never corrupts the latest checkpoint.
+* **Auto-resume.**  On start, if `ckpt_dir` holds a checkpoint, the loop
+  restores the LATEST step and continues from there; `make_state` (fresh
+  init) is only invoked on a cold start.  Restore goes through
+  `jax.eval_shape` of the fresh-state factory, so dtypes/shapes (and, under
+  a mesh, shardings attached by the caller's factory) are preserved without
+  the caller shipping a template pytree.
+* **History-independent randomness.**  The per-step PRNG key is
+  `fold_in(base_key, step)` and the batch comes from `batch_fn(step)` — both
+  functions of the step number alone, never of loop history.  A run that is
+  killed and resumed therefore replays the exact tail it would have run
+  uninterrupted: resume is bit-exact, not merely statistically equivalent
+  (tested in tests/test_train_loop.py by diffing full param pytrees).
+
+The loop is deliberately host-side control-plane only: the device work is
+the caller's jitted `train_step` (see make_train_step — DP/TP/SP/PP all
+compose there), and saves happen at host-visible step boundaries where the
+donated state briefly has a host-fetchable value.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+
+from .train import TrainState
+from ..utils.profiling import logger
+
+
+def _checkpoint_manager(ckpt_dir: str, max_to_keep: int):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        ),
+    )
+
+
+def train_loop(
+    make_state: Callable[[], TrainState],
+    train_step: Callable[..., Tuple[TrainState, jax.Array]],
+    batch_fn: Callable[[int], Dict[str, Any]],
+    *,
+    num_steps: int,
+    seed: int = 0,
+    ckpt_dir: Optional[str] = None,
+    save_every: int = 100,
+    max_to_keep: int = 3,
+    log_every: int = 50,
+) -> Tuple[TrainState, List[float]]:
+    """Run (or resume) `train_step` for steps [resume_step, num_steps).
+
+    make_state: fresh-init factory; called once on cold start, and under
+        `jax.eval_shape` to build the restore target on resume.
+    train_step: (state, batch, key) -> (new_state, loss); typically the
+        jitted output of make_train_step (donation is fine — the loop only
+        touches `state.step` and saves at boundaries).
+    batch_fn: step -> batch dict.  MUST be a pure function of the step
+        number for resume to be exact (e.g. index into a deterministic
+        shuffle, or fold the step into a data-RNG key).
+    Returns the final state and the per-step losses executed by THIS call
+    (a resumed call returns only the tail's losses).
+    """
+    base_key = jax.random.key(seed)
+    mgr = None
+    start_step = 0
+    state: Optional[TrainState] = None
+
+    if ckpt_dir is not None:
+        import orbax.checkpoint as ocp
+
+        mgr = _checkpoint_manager(ckpt_dir, max_to_keep)
+        latest = mgr.latest_step()
+        if latest is not None:
+            abstract = jax.eval_shape(make_state)
+            state = mgr.restore(
+                latest, args=ocp.args.StandardRestore(abstract)
+            )
+            state = TrainState(*state)  # restore yields a plain tuple-like
+            start_step = int(latest)
+            logger.info("train_loop: resumed step %d from %s",
+                        start_step, ckpt_dir)
+    if state is None:
+        state = make_state()
+
+    losses: List[float] = []
+    for step in range(start_step, num_steps):
+        key = jax.random.fold_in(base_key, step)
+        state, loss = train_step(state, batch_fn(step), key)
+        loss_f = float(loss)
+        losses.append(loss_f)
+        done = step + 1
+        if log_every and done % log_every == 0:
+            logger.info("train_loop: step %d loss %.6f", done, loss_f)
+        if mgr is not None and (
+            done % save_every == 0 or done == num_steps
+        ):
+            mgr.save(done, args=_standard_save(state))
+            # Block until the write completes: train_step donates its input
+            # state, so letting an async save hold device refs while the
+            # next step reuses those buffers would corrupt the checkpoint.
+            mgr.wait_until_finished()
+    if mgr is not None:
+        mgr.wait_until_finished()
+        if hasattr(mgr, "close"):
+            mgr.close()
+    return state, losses
+
+
+def _standard_save(state: TrainState):
+    import orbax.checkpoint as ocp
+
+    return ocp.args.StandardSave(state)

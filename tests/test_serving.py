@@ -1,4 +1,6 @@
-"""Serving executor: batching, bucketing, futures, shutdown."""
+"""Serving executor: batching, bucketing, futures, shutdown, races."""
+
+import time
 
 import jax
 import jax.numpy as jnp
@@ -125,6 +127,84 @@ class TestServing:
         # batch filled to 8 over ~0.96 s.  New: one absolute 0.2 s deadline.
         assert elapsed < 0.6, f"batch held open {elapsed:.2f}s"
         assert 1 <= len(batch) < 8
+
+    def test_submit_after_shutdown_raises(self, pipeline):
+        ex = ServingExecutor(pipeline)
+        ex.shutdown()
+        with pytest.raises(RuntimeError):
+            ex.submit(req(0))
+
+    def test_graceful_shutdown_drains_accepted_requests(self, pipeline):
+        """Every future returned by submit before shutdown(drain=True) must
+        RESOLVE (not error): the worker drains the queue — including
+        different-bucket requests deferred mid-batch — before exiting."""
+        ex = ServingExecutor(pipeline, max_batch=4, max_wait_ms=20)
+        futs = [ex.submit(req(i)) for i in range(5)]
+        # A different bucket enqueued last: the old requeue-behind-sentinel
+        # bug dropped exactly this request on shutdown.
+        futs.append(ex.submit({
+            "rgb": jnp.zeros((1, 1, 32, 32, 3), jnp.float32),
+            "context_index": jnp.zeros((1,), jnp.int32),
+        }))
+        ex.shutdown(drain=True, join_timeout=300)
+        for i, f in enumerate(futs):
+            out = f.result(timeout=1)  # must already be done
+            expect = 32 if i == 5 else 16
+            assert out.shape == (1, 1, expect, expect, 3)
+
+    def test_abort_shutdown_completes_every_future(self, pipeline):
+        """shutdown(drain=False): nothing hangs — each future either
+        resolved (already in flight) or fails fast with RuntimeError."""
+        ex = ServingExecutor(pipeline, max_batch=2, max_wait_ms=5)
+        futs = [ex.submit(req(i)) for i in range(8)]
+        ex.shutdown(drain=False, join_timeout=300)
+        resolved = failed = 0
+        for f in futs:
+            assert f.done(), "future left pending after shutdown"
+            if f.exception() is None:
+                resolved += 1
+            else:
+                assert isinstance(f.exception(), RuntimeError)
+                failed += 1
+        assert resolved + failed == 8
+
+    def test_concurrent_submitters_race_shutdown(self, pipeline):
+        """Many threads hammering submit while shutdown lands concurrently:
+        the accept/shutdown lock means every request is either rejected with
+        RuntimeError at submit time or its future resolves — no future may
+        be accepted and then never complete."""
+        import threading
+
+        ex = ServingExecutor(pipeline, max_batch=4, max_wait_ms=5)
+        accepted, rejected = [], []
+        acc_lock = threading.Lock()
+        start = threading.Barrier(5)
+
+        def submitter(tid):
+            start.wait()
+            for i in range(10):
+                try:
+                    f = ex.submit(req(tid * 10 + i))
+                except RuntimeError:
+                    with acc_lock:
+                        rejected.append(tid)
+                    return
+                with acc_lock:
+                    accepted.append(f)
+
+        threads = [threading.Thread(target=submitter, args=(t,))
+                   for t in range(4)]
+        for t in threads:
+            t.start()
+        start.wait()          # all submitters released together
+        time.sleep(0.05)      # let some requests land first
+        ex.shutdown(drain=True, join_timeout=600)
+        for t in threads:
+            t.join(timeout=30)
+        assert accepted, "race produced no accepted requests"
+        for f in accepted:
+            out = f.result(timeout=1)  # drain=True: all accepted resolve
+            assert out.shape == (1, 1, 16, 16, 3)
 
     def test_mixed_bucket_trickle_fairness(self, pipeline):
         """Interleaved requests from two shape buckets, arriving as a slow
