@@ -6,6 +6,8 @@ weights: shapes, determinism, CFG wiring, batched 5-pass inverse, forward
 relighting with envmap preprocessing.
 """
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -345,3 +347,74 @@ class TestOverlappedDecode:
         finally:
             inv_pipe.decode_chunk_frames = None
         assert out.shape == (1, 33, 16, 16, 3)
+
+
+class TestAllocatorDrainRetry:
+    """Fault injection for the axon RESOURCE_EXHAUSTED drain-retry
+    (pipeline.generate): transient allocator exhaustion must be retried
+    with a drain wait; anything else — or a real platform — must surface
+    the error untouched."""
+
+    def _fail_n_times(self, pipe, monkeypatch, n, msg):
+        calls = {"n": 0}
+        real = pipe._generate_inner
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] <= n:
+                raise RuntimeError(msg)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(pipe, "_generate_inner", flaky)
+        return calls
+
+    def _batch(self):
+        video = jnp.asarray(
+            np.random.default_rng(3).uniform(-1, 1, (1, 1, 16, 16, 3)),
+            jnp.float32,
+        )
+        return {"rgb": video, "context_index": jnp.zeros((1,), jnp.int32)}
+
+    def test_transient_exhaustion_retried_on_axon(self, inv_pipe, monkeypatch):
+        import diffusionrenderer_tpu.utils.platform as plat
+
+        monkeypatch.setattr(plat, "is_axon", lambda: True)
+        monkeypatch.setattr(time, "sleep", lambda s: None)  # no real drain
+        calls = self._fail_n_times(
+            inv_pipe, monkeypatch, 2, "RESOURCE_EXHAUSTED: out of memory"
+        )
+        out = inv_pipe.generate(self._batch(), seed=0)
+        assert out.shape == (1, 1, 16, 16, 3)
+        assert calls["n"] == 3  # two injected failures + one success
+
+    def test_exhaustion_not_retried_off_axon(self, inv_pipe, monkeypatch):
+        import diffusionrenderer_tpu.utils.platform as plat
+
+        monkeypatch.setattr(plat, "is_axon", lambda: False)
+        calls = self._fail_n_times(
+            inv_pipe, monkeypatch, 1, "RESOURCE_EXHAUSTED: out of memory"
+        )
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            inv_pipe.generate(self._batch(), seed=0)
+        assert calls["n"] == 1  # a real OOM surfaces immediately
+
+    def test_other_errors_never_retried(self, inv_pipe, monkeypatch):
+        import diffusionrenderer_tpu.utils.platform as plat
+
+        monkeypatch.setattr(plat, "is_axon", lambda: True)
+        calls = self._fail_n_times(inv_pipe, monkeypatch, 1, "INVALID_ARGUMENT")
+        with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+            inv_pipe.generate(self._batch(), seed=0)
+        assert calls["n"] == 1
+
+    def test_gives_up_after_final_wait(self, inv_pipe, monkeypatch):
+        import diffusionrenderer_tpu.utils.platform as plat
+
+        monkeypatch.setattr(plat, "is_axon", lambda: True)
+        monkeypatch.setattr(time, "sleep", lambda s: None)
+        calls = self._fail_n_times(
+            inv_pipe, monkeypatch, 99, "RESOURCE_EXHAUSTED: out of memory"
+        )
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            inv_pipe.generate(self._batch(), seed=0)
+        assert calls["n"] == 4  # initial try + 3 escalating drain retries
