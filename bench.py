@@ -372,9 +372,12 @@ def main() -> None:
                 # logged, never fails the bench).
                 for flag in ("--shardcheck", "--qmmcheck"):
                     try:
+                        # Remote compiles vary minutes run-to-run; 600 s
+                        # timed out on a slow day (round 4) with the check
+                        # itself healthy.
                         sc = subprocess.run(
                             [sys.executable, __file__, flag],
-                            capture_output=True, text=True, timeout=600,
+                            capture_output=True, text=True, timeout=1200,
                         )
                         sys.stderr.write(sc.stderr[-1000:])
                         if sc.returncode != 0:
