@@ -23,3 +23,14 @@ from .config import (
 from .pipeline import DiffusionRendererPipeline
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # ComfyUI discovers plugins by reading NODE_CLASS_MAPPINGS off the
+    # package (ref: __init__.py:1-3 re-exporting nodes.py:335-347).  Lazy so
+    # library users never pay for the node layer (or torch) on import.
+    if name in ("NODE_CLASS_MAPPINGS", "NODE_DISPLAY_NAME_MAPPINGS"):
+        from . import comfy_nodes
+
+        return getattr(comfy_nodes, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
