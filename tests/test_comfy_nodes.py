@@ -87,6 +87,88 @@ class TestPluginSurface:
         assert fwd["optional"]["env_rotation"][1]["default"] == 180.0
 
 
+REFERENCE_NODES = "/root/reference/nodes.py"
+
+
+def _reference_node_surface():
+    """Extract each reference node's declared surface by AST — the reference
+    imports comfy/folder_paths (absent here), so it cannot be imported; its
+    class-level declarations are still the ground truth to pin against."""
+    import ast
+
+    with open(REFERENCE_NODES) as f:
+        tree = ast.parse(f.read())
+    surface = {}
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ClassDef):
+            continue
+        info = {}
+        for item in node.body:
+            if isinstance(item, ast.FunctionDef) and item.name == "INPUT_TYPES":
+                ret = item.body[-1]
+                assert isinstance(ret, ast.Return)
+                sections = {}
+                for k, v in zip(ret.value.keys, ret.value.values):
+                    if isinstance(v, ast.Dict):
+                        sections[ast.literal_eval(k)] = [
+                            ast.literal_eval(kk) for kk in v.keys
+                        ]
+                info["inputs"] = sections
+            elif isinstance(item, ast.Assign):
+                name = item.targets[0].id
+                if name in ("RETURN_TYPES", "RETURN_NAMES", "FUNCTION",
+                            "CATEGORY"):
+                    info[name] = ast.literal_eval(item.value)
+        if "inputs" in info:
+            surface[node.name] = info
+    return surface
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REFERENCE_NODES),
+                    reason="reference checkout not available")
+class TestReferenceSurfaceParity:
+    """Pin the adapter to the reference's ACTUAL declarations (parsed from
+    /root/reference/nodes.py), not to a restated copy of them."""
+
+    def test_every_reference_node_is_provided(self):
+        ref = _reference_node_surface()
+        assert set(ref) <= set(NODE_CLASS_MAPPINGS)
+
+    def test_declared_surface_matches(self):
+        ref = _reference_node_surface()
+        for name, info in ref.items():
+            ours = NODE_CLASS_MAPPINGS[name]
+            our_inputs = ours.INPUT_TYPES()
+            # Required fields must match EXACTLY: a saved workflow graph
+            # wires links/widgets by these names.
+            assert sorted(our_inputs["required"]) == sorted(
+                info["inputs"]["required"]), name
+            # Every reference optional must exist here (extras with
+            # defaults — e.g. quant_mode — are graph-compatible additions).
+            for opt in info["inputs"].get("optional", ()):
+                assert opt in our_inputs.get("optional", {}), (name, opt)
+            assert tuple(ours.RETURN_TYPES) == tuple(info["RETURN_TYPES"]), name
+            if "RETURN_NAMES" in info:
+                assert tuple(ours.RETURN_NAMES) == tuple(
+                    info["RETURN_NAMES"]), name
+            assert ours.FUNCTION == info["FUNCTION"], name
+            assert ours.CATEGORY == info["CATEGORY"], name
+
+    def test_function_signatures_accept_reference_kwargs(self):
+        """ComfyUI calls FUNCTION with every declared input as a kwarg."""
+        import inspect
+
+        ref = _reference_node_surface()
+        for name, info in ref.items():
+            cls = NODE_CLASS_MAPPINGS[name]
+            fn = getattr(cls, cls.FUNCTION)
+            params = inspect.signature(fn).parameters
+            declared = (info["inputs"]["required"]
+                        + info["inputs"].get("optional", []))
+            for field in declared:
+                assert field in params, (name, field)
+
+
 class TestInputCoercion:
     """ref: nodes.py:156-179."""
 
@@ -183,6 +265,39 @@ class TestLoadHDRNode:
         assert out.shape == (1, 8, 16, 3)
         # HDR: values may exceed 1 (ref: nodes.py:312-332).
         assert float(out.max()) > 1.0
+
+
+class TestExampleWorkflow:
+    def test_workflow_json_wires_valid_nodes_and_inputs(self):
+        """docs/example_workflow.json must only reference node classes and
+        input fields this package actually declares (LoadImage/SaveImage are
+        ComfyUI built-ins), and every link must point at an existing node's
+        existing output slot."""
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                            "example_workflow.json")
+        with open(path) as f:
+            wf = json.load(f)
+        nodes = {k: v for k, v in wf.items() if isinstance(v, dict)}
+        builtin = {"LoadImage", "SaveImage"}
+        for nid, spec in nodes.items():
+            ct = spec["class_type"]
+            if ct in builtin:
+                continue
+            cls = NODE_CLASS_MAPPINGS[ct]
+            declared = cls.INPUT_TYPES()
+            fields = set(declared["required"]) | set(
+                declared.get("optional", {}))
+            for field, value in spec["inputs"].items():
+                assert field in fields, (ct, field)
+                if isinstance(value, list):  # a link: [node_id, slot]
+                    src_id, slot = value
+                    src = nodes[src_id]
+                    if src["class_type"] not in builtin:
+                        src_cls = NODE_CLASS_MAPPINGS[src["class_type"]]
+                        assert slot < len(src_cls.RETURN_TYPES), (ct, field)
 
 
 class TestLoaderNode:
