@@ -99,10 +99,13 @@ def _init_bf16_build(cfg, key, dtype, quant=None):
         # Big matmul weights only (AdaLN stays bf16, as in models/quant.py).
         # quant is any models/quant.parse_quant_mode string, e.g. 'w8a8',
         # 'w8_g128', 'w8a8_g128_keepres' (mixed-precision deployment modes).
-        from diffusionrenderer_tpu.models.quant import parse_quant_mode
+        from diffusionrenderer_tpu.models.quant import (
+            hadamard_block, parse_quant_mode,
+        )
 
-        act_quant, gsz, keep = parse_quant_mode(quant)
-        skey = "sa" if act_quant else "s"
+        qm = parse_quant_mode(quant)
+        gsz, keep = qm.group_size, qm.keep
+        skey = "sa" if qm.act_quant else "s"
         def stq(name, shape):
             if name in keep:
                 return st(shape)
@@ -111,8 +114,15 @@ def _init_bf16_build(cfg, key, dtype, quant=None):
                 sshape = (nb, k // gsz, n)
             else:  # narrow inputs (CA wk/wv): per-channel, as models/quant
                 sshape = (nb, n)
-            return {"q": jnp.zeros((nb, *shape), jnp.int8),
+            leaf = {"q": jnp.zeros((nb, *shape), jnp.int8),
                     skey: jnp.full(sshape, 0.01, jnp.float32)}
+            # Transform leaves (values don't matter for step TIMING, the
+            # runtime multiply/rotate cost is shape-determined):
+            if qm.awq:
+                leaf["di"] = jnp.ones((nb, k), jnp.float32)
+            if qm.hadamard and hadamard_block(k) > 1:
+                leaf["hs"] = jnp.ones((nb, k), jnp.float32)
+            return leaf
     else:
         stq = lambda name, shape: st(shape)
     ones = lambda shape: jnp.ones(shape, dtype)

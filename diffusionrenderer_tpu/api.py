@@ -52,6 +52,8 @@ def load_pipeline(
     act_quant: bool = False,
     quant_group_size: Optional[int] = None,
     quant_keep_bf16: Sequence[str] = (),
+    quant_mse_clip: bool = False,
+    quant_hadamard: bool = False,
     net_config: Optional[DiTConfig] = None,
     vae_config: Optional[VAEConfig] = None,
 ) -> DiffusionRendererPipeline:
@@ -98,7 +100,9 @@ def load_pipeline(
                                          quantize_int8=quantize_int8,
                                          act_quant=act_quant,
                                          group_size=quant_group_size,
-                                         keep_bf16=quant_keep_bf16)
+                                         keep_bf16=quant_keep_bf16,
+                                         mse_clip=quant_mse_clip,
+                                         hadamard=quant_hadamard)
     else:
         dit_params = init_dit_params(jax.random.key(0), net_cfg, dtype)
         if quantize_int8:
@@ -106,7 +110,8 @@ def load_pipeline(
 
             dit_params = quantize_dit_params(
                 dit_params, act_quant=act_quant,
-                group_size=quant_group_size, keep_bf16=quant_keep_bf16)
+                group_size=quant_group_size, keep_bf16=quant_keep_bf16,
+                mse_clip=quant_mse_clip, hadamard=quant_hadamard)
 
     vae_cfg = vae_config if vae_config is not None else VAEConfig()
     if vae_checkpoint is not None:

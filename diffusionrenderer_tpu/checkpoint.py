@@ -70,6 +70,8 @@ def convert_dit_state_dict(
     act_quant: bool = False,
     group_size=None,
     keep_bf16=(),
+    mse_clip: bool = False,
+    hadamard: bool = False,
 ) -> Params:
     """Convert a reference-format torch state dict into our DiT pytree.
 
@@ -115,7 +117,9 @@ def convert_dit_state_dict(
             from .models.quant import quantize_tensor_host
 
             return quantize_tensor_host(stacked, act_quant=act_quant,
-                                        group_size=group_size)
+                                        group_size=group_size,
+                                        mse_clip=mse_clip,
+                                        hadamard=hadamard)
         return jnp.asarray(stacked, dtype)
 
     def stack_vec(fmt: str) -> jnp.ndarray:
@@ -281,6 +285,8 @@ def load_dit_checkpoint(
     act_quant: bool = False,
     group_size=None,
     keep_bf16=(),
+    mse_clip: bool = False,
+    hadamard: bool = False,
 ) -> Params:
     """Load a DiT checkpoint from disk.
 
@@ -295,6 +301,7 @@ def load_dit_checkpoint(
     return convert_dit_state_dict(
         load_torch_file(path), cfg, dtype, quantize_int8=quantize_int8,
         act_quant=act_quant, group_size=group_size, keep_bf16=keep_bf16,
+        mse_clip=mse_clip, hadamard=hadamard,
     )
 
 

@@ -149,10 +149,17 @@ class LoadDiffusionRendererModel:
         if quant_mode != "bf16":
             from .models.quant import parse_quant_mode
 
-            act_quant, group_size, keep = parse_quant_mode(quant_mode)
-            kwargs.update(quantize_int8=True, act_quant=act_quant,
-                          quant_group_size=group_size,
-                          quant_keep_bf16=keep)
+            qm = parse_quant_mode(quant_mode)
+            if qm.needs_calibration:
+                raise ValueError(
+                    f"quant mode {quant_mode!r} needs calibration stats — "
+                    "convert the checkpoint offline with the CLI and load "
+                    "the native checkpoint instead")
+            kwargs.update(quantize_int8=True, act_quant=qm.act_quant,
+                          quant_group_size=qm.group_size,
+                          quant_keep_bf16=qm.keep,
+                          quant_mse_clip=qm.mse_clip,
+                          quant_hadamard=qm.hadamard)
         # Defaults guidance=0.0 / num_steps=15 / seed=42 (ref: nodes.py:123-
         # 125); per-run guidance/seed are set by the renderer nodes below.
         pipeline = api.load_pipeline(

@@ -164,11 +164,14 @@ def _self_attention_block(
     cos_sin: tuple[jax.Array, jax.Array],
     num_heads: int,
     attn_backend: str,
+    sites: dict | None = None,
 ) -> jax.Array:
     (_, _, gate), xm = _adaln(x, emb, lora, bp)
     b, l, d = xm.shape
     dh = d // num_heads
 
+    if sites is not None:
+        sites["fa.qkv"] = xm
     q = _dense(xm, bp["wq"]).reshape(b, l, num_heads, dh)
     k = _dense(xm, bp["wk"]).reshape(b, l, num_heads, dh)
     v = _dense(xm, bp["wv"]).reshape(b, l, num_heads, dh)
@@ -185,7 +188,10 @@ def _self_attention_block(
         o = attn_backend(q, k, v)
     else:
         o = attention(q, k, v, backend=attn_backend)
-    o = _dense(o.reshape(b, l, d), bp["wo"])
+    o_flat = o.reshape(b, l, d)
+    if sites is not None:
+        sites["fa.wo"] = o_flat
+    o = _dense(o_flat, bp["wo"])
     return x + gate[:, None, :] * o
 
 
@@ -205,6 +211,7 @@ def _cross_attention_block(
     bp: Params,
     context: jax.Array,
     num_heads: int,
+    sites: dict | None = None,
 ) -> jax.Array:
     (_, _, gate), xm = _adaln(x, emb, lora, bp)
     b, l, d = xm.shape
@@ -214,7 +221,11 @@ def _cross_attention_block(
     if m == 1:
         # Exact single-KV identity: softmax over one key == 1, output == v
         # (see ops.attention.cross_attention_single_kv for the derivation).
+        if sites is not None:
+            sites["ca.wv"] = context
         v = _dense(context, bp["wv"])  # (B, 1, D)
+        if sites is not None:
+            sites["ca.wo"] = v
         o = _dense(v, bp["wo"])  # (B, 1, D)
         return x + gate[:, None, :] * o  # broadcast over L
     # General path (kept for multi-token contexts).
@@ -232,10 +243,14 @@ def make_block_apply(
     cfg: DiTConfig,
     attn_backend="auto",
     mlp_token_chunks: int = 1,
+    capture_sites: bool = False,
 ):
     """One FA-CA-MLP block as a pure function of explicit inputs.
 
     apply(bp, x, emb, lora, context, cos, sin) -> x'
+    (with capture_sites: -> (x', sites) where sites maps the quantization
+    calibration site names of models/quant.LEAF_SITE to the dense-input
+    tensors observed by this block — consumed by models/calibrate.py.)
 
     No tracers are closed over (cfg / backend / chunking are static), so the
     returned callable is safe to use inside `shard_map` bodies — this is the
@@ -244,20 +259,26 @@ def make_block_apply(
     """
 
     def apply(bp, x, emb, lora, context, cos, sin):
+        sites: dict | None = {} if capture_sites else None
         y = _self_attention_block(
-            x, emb, lora, bp["fa"], (cos, sin), cfg.num_heads, attn_backend
+            x, emb, lora, bp["fa"], (cos, sin), cfg.num_heads, attn_backend,
+            sites=sites,
         )
         y = _cross_attention_block(
-            y, emb, lora, bp["ca"], context, cfg.num_heads
+            y, emb, lora, bp["ca"], context, cfg.num_heads, sites=sites
         )
-        return _mlp_block(y, emb, lora, bp["mlp"],
-                          token_chunks=mlp_token_chunks)
+        y = _mlp_block(y, emb, lora, bp["mlp"],
+                       token_chunks=mlp_token_chunks, sites=sites)
+        return (y, sites) if capture_sites else y
 
     return apply
 
 
-def _mlp_block(x, emb, lora, bp, token_chunks: int = 1):
+def _mlp_block(x, emb, lora, bp, token_chunks: int = 1,
+               sites: dict | None = None):
     (_, _, gate), xm = _adaln(x, emb, lora, bp)
+    if sites is not None:
+        sites["mlp.w1"] = xm
 
     def ff(xc):
         h = _dense(xc, bp["w1"])
@@ -265,6 +286,10 @@ def _mlp_block(x, emb, lora, bp, token_chunks: int = 1):
         # CleanGeneralDIT.py:442-462); jax defaults to tanh approx, so be
         # explicit.
         h = jax.nn.gelu(h, approximate=False)
+        if sites is not None and token_chunks <= 1:
+            # (chunked ff runs under lax.map — a dict write there would
+            # leak tracers; calibration uses token_chunks=1)
+            sites["mlp.w2"] = h
         return _dense(h, bp["w2"])
 
     b, l, d = xm.shape

@@ -83,22 +83,34 @@ def dit_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     gscale_col = _ns(mesh, None, None, AXIS_TENSOR)
     gscale_row = _ns(mesh, None, AXIS_TENSOR, None)
 
+    # Input-space transform leaves ('di' migration multipliers, 'hs'
+    # Hadamard signs) are (nb, K): column-parallel weights replicate them
+    # (their K axis is unsharded); row-parallel weights shard them with the
+    # input axis they multiply.  Both transforms are position-wise on K
+    # (the Hadamard rotation is block-128-local and K/tp is 128-aligned for
+    # the production dims), so sharding them with K is exact.
+    tvec_row = _ns(mesh, None, AXIS_TENSOR)  # (nb, K) row-sharded
+
     def map_blocks(sub: str, name: str):
         leaf = params["blocks"][sub][name]
-        quantized = isinstance(leaf, dict)  # {'q','s'|'sa'} int8 leaves
+        quantized = isinstance(leaf, dict)  # {'q','s'|'sa',...} int8 leaves
         if quantized:
             grouped = (leaf["sa"] if "sa" in leaf else leaf["s"]).ndim == 3
         if name in ("wq", "wk", "wv", "w1"):
             if quantized:
                 scale = gscale_col if grouped else scale_col
-                return {k: (col3 if k == "q" else scale) for k in leaf}
+                return {k: (col3 if k == "q" else
+                            rep if k in ("di", "hs") else scale)
+                        for k in leaf}
             return col3
         if name in ("wo", "w2"):
             if quantized:
                 # Row-sharded: out axis replicated; per-channel scales are
                 # replicated, per-group scales shard their group axis.
                 scale = gscale_row if grouped else rep
-                return {k: (row3 if k == "q" else scale) for k in leaf}
+                return {k: (row3 if k == "q" else
+                            tvec_row if k in ("di", "hs") else scale)
+                        for k in leaf}
             return row3
         return rep
 
