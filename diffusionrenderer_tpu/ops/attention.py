@@ -64,23 +64,32 @@ def attention(
 ) -> jax.Array:
     """Dispatching attention entry point.
 
-    backend: 'auto' | 'xla' | 'pallas' | 'pallas_onlinemax'.  'auto' picks
-    the Pallas flash kernel on TPU when Lq is large enough to benefit, XLA
-    otherwise.  'pallas' (and 'auto') run the bounded-softmax variant — the
-    per-tile running max replaced by a precomputed Cauchy-Schwarz row bound,
-    exact to fp32 rounding for normalized q/k (this DiT RMS-norms q and k
-    per head; measured ~14% faster at the flagship shape).
-    'pallas_onlinemax' keeps the classic online-softmax kernel.
+    backend: 'auto' | 'xla' | 'pallas' | 'pallas_onlinemax' |
+    'pallas_pv_int8'.  'auto' picks the Pallas flash kernel on TPU when Lq
+    is large enough to benefit, XLA otherwise.  'pallas' (and 'auto') run
+    the bounded-softmax variant — the per-tile running max replaced by a
+    precomputed Cauchy-Schwarz row bound, exact to fp32 rounding for
+    normalized q/k (this DiT RMS-norms q and k per head; measured ~14%
+    faster at the flagship shape).  'pallas_onlinemax' keeps the classic
+    online-softmax kernel.  'pallas_pv_int8' is the int8 QK^T + int8 PV
+    online-softmax kernel (SageAttention-style rank-1 dequant + the
+    exact-cancelling 127-fold P quantization; measured +3% at the flagship
+    shape — int8 P needs the tight per-tile max, so it does NOT compose
+    with the bounded kernel) — its accuracy rung on the quantization
+    ladder decides whether it is promoted (BASELINE.md).
     """
     if backend == "xla":
         return attention_xla(q, k, v)
-    if backend in ("pallas", "pallas_onlinemax") or (
+    if backend in ("pallas", "pallas_onlinemax", "pallas_pv_int8") or (
         backend == "auto" and _use_pallas(q, k)
     ):
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v,
-                               bounded=backend != "pallas_onlinemax")
+        pv8 = backend == "pallas_pv_int8"
+        return flash_attention(
+            q, k, v,
+            bounded=backend != "pallas_onlinemax" and not pv8,
+            pv_int8=pv8)
     return attention_xla(q, k, v)
 
 

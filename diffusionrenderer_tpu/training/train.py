@@ -107,6 +107,7 @@ def make_train_step(
     seq_sharding_constraint=None,
     donate: bool = True,
     block_executor=None,
+    grad_accum: int = 1,
 ):
     """Build the jitted train step: (state, batch, key) -> (state, loss).
 
@@ -118,24 +119,54 @@ def make_train_step(
     parallel.pipeline_parallel.make_pp_executor — the GPipe scan is
     differentiable, so the same executor serves training; pass remat=True
     there to keep per-stage activation memory at one microbatch.
+
+    grad_accum: split the batch into this many microbatches along the batch
+    axis (B must divide evenly) and accumulate gradients in a lax.scan
+    before ONE optimizer update — effective batch B at the activation
+    memory of B/grad_accum.  Each microbatch folds its index into the step
+    key so sigma/noise/dropout draws stay independent.
     """
 
-    def step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
-        def loss_fn(p):
-            return edm_loss(
-                p,
-                batch["latents"],
-                batch["latent_condition"],
-                batch["context_index"],
-                key,
-                cfg,
-                sigma_data=sigma_data,
-                condition_drop_rate=condition_drop_rate,
-                seq_sharding_constraint=seq_sharding_constraint,
-                block_executor=block_executor,
-            )
+    def _loss(p, mb, key):
+        return edm_loss(
+            p,
+            mb["latents"],
+            mb["latent_condition"],
+            mb["context_index"],
+            key,
+            cfg,
+            sigma_data=sigma_data,
+            condition_drop_rate=condition_drop_rate,
+            seq_sharding_constraint=seq_sharding_constraint,
+            block_executor=block_executor,
+        )
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    def step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+        if grad_accum <= 1:
+            loss, grads = jax.value_and_grad(_loss)(state.params, batch, key)
+        else:
+            def split(x):
+                b = x.shape[0]
+                assert b % grad_accum == 0, (
+                    f"batch {b} not divisible by grad_accum {grad_accum}")
+                return x.reshape(grad_accum, b // grad_accum, *x.shape[1:])
+
+            micro = jax.tree.map(split, batch)
+
+            def accum(carry, inp):
+                loss_sum, grads_sum = carry
+                mb, i = inp
+                l, g = jax.value_and_grad(_loss)(
+                    state.params, mb, jax.random.fold_in(key, i))
+                return (loss_sum + l,
+                        jax.tree.map(jnp.add, grads_sum, g)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                accum, (jnp.zeros((), jnp.float32), zeros),
+                (micro, jnp.arange(grad_accum)))
+            loss = loss / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_opt, state.step + 1), loss

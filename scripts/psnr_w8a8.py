@@ -1,5 +1,5 @@
 """int8 quantization accuracy at full 7B scale (NOTES.md item 3 /
-VERDICT r3 item 1).
+VERDICT r3 item 1 / VERDICT r4 items 1-3).
 
 Runs BASELINE config #1 (single-frame 512x512 inverse, 15 EDM steps) through
 the FULL 7B pipeline on the chip — bf16 weights first, then each requested
@@ -9,11 +9,21 @@ checkpoint in this environment), so this bounds the numeric damage of the
 int8 path through 15 steps x 28 blocks of accumulated quantization error,
 not task quality.
 
-Usage: python scripts/psnr_w8a8.py [mode ...]
-Modes: w8, w8a8 (per-output-channel scales), a _gN suffix selects per-group
-scales of N input rows (w8a8_g128, w8_g512, ...), a _keepres suffix keeps
-the residual-stream projections (wo, w2) bf16, a _keepattn suffix keeps all
-four attention projections bf16 (MLP-only int8).  Default: w8 w8a8.
+Usage: python scripts/psnr_w8a8.py [--dist=gauss|ht] [mode ...]
+
+Modes: any models/quant.parse_quant_mode string — w8/w8a8 bases; _gN group
+scales; _keepres/_keepattn mixed precision; round-5 quantizers _mse (clip
+search), _had (block-Hadamard rotation), _awq (calibrated scale migration),
+_gptq (calibrated error-compensating rounding).  Calibrated modes trigger a
+one-time on-chip calibration capture (cached on disk).  A '+pv8' suffix on
+any mode (including 'bf16+pv8') additionally routes DiT self-attention
+through the int8-PV flash kernel — the attention-quantization rung.
+
+--dist=ht switches the synthetic weights from N(0,0.02) to a heavy-tailed
+per-input-row distribution (log-normal row scales sigma=0.5 + 0.4% outlier
+rows x10 — the documented shape of trained transformer weight matrices),
+answering VERDICT r4 item 2: does the Gaussian-weights ladder transfer?
+Each dist has its own bf16 reference run and disk cache.
 
 bf16 7B (13.5 GiB) fits the chip at 1,024 tokens; variants run sequentially
 and weights are dropped in between to stay under the HBM ceiling.
@@ -26,17 +36,41 @@ import jax, jax.numpy as jnp, numpy as np
 from diffusionrenderer_tpu.config import DiTConfig, VAEConfig
 from diffusionrenderer_tpu.models.dit import init_dit_params
 from diffusionrenderer_tpu.models.quant import (
-    QUANTIZED_BLOCK_WEIGHTS, parse_quant_mode, quantize_tensor_host,
+    QUANTIZED_BLOCK_WEIGHTS, parse_quant_mode, quantize_dit_params_host,
 )
 from diffusionrenderer_tpu.models.vae import init_vae_params
 from diffusionrenderer_tpu.pipeline import DiffusionRendererPipeline
 from diffusionrenderer_tpu.utils.metrics import psnr
 import logging; logging.basicConfig(level=logging.INFO)
 
-net = DiTConfig()
-vae = init_vae_params(jax.random.key(1), VAEConfig(), dtype=jnp.bfloat16)
+DIST = "gauss"
+modes = []
+for a in sys.argv[1:]:
+    if a.startswith("--dist="):
+        DIST = a.split("=", 1)[1]
+        assert DIST in ("gauss", "ht"), DIST
+    else:
+        modes.append(a)
+modes = modes or ["w8", "w8a8"]
+
+# PSNR_TINY=1: CPU rehearsal of the whole flow (capture -> calibrated
+# quantize -> pipeline -> PSNR) on a scaled model before paying chip time.
+TINY = bool(os.environ.get("PSNR_TINY"))
+if TINY:
+    jax.config.update("jax_platforms", "cpu")
+    net = DiTConfig(model_channels=128, num_blocks=2, num_heads=4,
+                    adaln_lora_dim=8, crossattn_emb_channels=128)
+    vae_cfg = VAEConfig(encoder_block_out_channels=(8, 12, 16, 16),
+                        decode_block_out_channels=(12, 16, 16, 16),
+                        num_layers=1)
+    RES = 64
+else:
+    net = DiTConfig()
+    vae_cfg = VAEConfig()
+    RES = 512
+vae = init_vae_params(jax.random.key(1), vae_cfg, dtype=jnp.bfloat16)
 rng = np.random.default_rng(3)
-image = rng.random((1, 1, 512, 512, 3), np.float32)
+image = rng.random((1, 1, RES, RES, 3), np.float32)
 batch = lambda: {"rgb": image * 2 - 1,
                  "context_index": jnp.zeros((1,), jnp.int32)}
 
@@ -62,6 +96,20 @@ _BASE = (
     .to(torch.bfloat16).view(torch.int16).numpy()
 )  # int16 view of bf16 bits; tiling/rolling int16 is a plain memcpy
 
+_MATMUL_NAMES = {n for ns in QUANTIZED_BLOCK_WEIGHTS.values() for n in ns}
+
+
+def _row_scales(names: str, k: int) -> np.ndarray:
+    """Heavy-tailed per-input-row scale profile, deterministic per leaf:
+    log-normal(sigma=0.5) row scales + 0.4% outlier rows x10 — the
+    documented shape of trained transformer weights (per-channel outlier
+    structure that inflates per-column amax scales under RTN int8)."""
+    r = np.random.default_rng(zlib.crc32(names.encode()))
+    s = np.exp(r.standard_normal(k).astype(np.float32) * 0.5)
+    n_out = max(1, int(0.004 * k))
+    s[r.choice(k, n_out, replace=False)] *= 10.0
+    return s
+
 
 def _host_leaf(path, sd):
     names = "/".join(str(p) for p in path)
@@ -69,51 +117,121 @@ def _host_leaf(path, sd):
         return np.ones(sd.shape, ml_dtypes.bfloat16)
     off = zlib.crc32(names.encode()) % _BASE.size
     flat = np.resize(np.roll(_BASE, -off), int(np.prod(sd.shape)))
-    return flat.reshape(sd.shape).view(ml_dtypes.bfloat16)
+    leaf = flat.reshape(sd.shape).view(ml_dtypes.bfloat16)
+    if DIST == "ht" and names.split("/")[-1].strip("'[]") in _MATMUL_NAMES \
+            and len(sd.shape) == 3:
+        # Scale input rows (axis -2) through torch (host numpy bf16 math is
+        # unusable at this size; the int16 view trick round-trips bf16).
+        t = torch.from_numpy(leaf.view(np.int16).copy()).view(torch.bfloat16)
+        t = t.to(torch.float32)
+        t *= torch.from_numpy(_row_scales(names, sd.shape[-2]))[None, :, None]
+        return t.to(torch.bfloat16).view(torch.int16).numpy().view(
+            ml_dtypes.bfloat16)
+    return leaf
 
 
 host_params = jax.tree_util.tree_map_with_path(_host_leaf, shapes)
-print("host init done", flush=True)
+print(f"host init done (dist={DIST})", flush=True)
 
-
-def _quantize_host(params, act_quant, group_size=None, keep=()):
-    out = dict(params)
-    blocks = {}
-    for sub, names in QUANTIZED_BLOCK_WEIGHTS.items():
-        bp = {k: jnp.asarray(v) for k, v in params["blocks"][sub].items()
-              if k not in names}
-        for name in names:
-            src = params["blocks"][sub][name]
-            if name in keep or f"{sub}.{name}" in keep:
-                bp[name] = jnp.asarray(src)
-            else:
-                bp[name] = quantize_tensor_host(
-                    src, act_quant=act_quant, group_size=group_size)
-        blocks[sub] = bp
-    out["blocks"] = blocks
-    return {k: (v if k == "blocks" else jax.tree.map(jnp.asarray, v))
-            for k, v in out.items()}
-
-
-modes = sys.argv[1:] or ["w8", "w8a8"]
 # uint8 outputs are tiny (786 KB) — cache per-mode results on disk so an
 # interrupted sweep never re-runs finished modes (a bf16 run alone is ~9
 # minutes of upload+compile through the tunnel).
 CACHE = os.environ.get("PSNR_CACHE", "/tmp/psnr_quant_cache")
+if DIST != "gauss":
+    CACHE = f"{CACHE}_{DIST}"
 os.makedirs(CACHE, exist_ok=True)
+
+_CALIB = None
+
+
+def _calibration_stats():
+    """One-time on-chip calibration capture (disk-cached): per-site mean|x|
+    + Hessians at the 4096-dim token-fed sites, captured with the w8
+    per-channel model resident (6.7 GiB — leaves headroom; also the
+    statistically proper base: calibrate on the quantization-perturbed
+    activations) over 4 EDM-schedule sigmas x 1024 tokens."""
+    global _CALIB
+    if _CALIB is not None:
+        return _CALIB
+    path = os.path.join(CACHE, "calib.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        stats = {"amean": {}, "h": {}, "count": {}}
+        for k in z.files:
+            kind, site = k.split(":", 1)
+            stats[kind][site] = (float(z[k]) if kind == "count" else z[k])
+        _CALIB = stats
+        print("calibration: cached", flush=True)
+        return stats
+    from diffusionrenderer_tpu.models.calibrate import capture_dit_stats
+    from diffusionrenderer_tpu.pipeline import (
+        _prepare_latent_conditions, get_config_by_model_type,
+    )
+    from diffusionrenderer_tpu.sampling.edm import (
+        edm_sigmas, scale_model_input,
+    )
+
+    t0 = time.perf_counter()
+    w8 = quantize_dit_params_host(host_params, "w8")
+    cfg = get_config_by_model_type("inverse", height=RES, width=RES,
+                                   num_frames=1, compute_dtype="bfloat16")
+    if TINY:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, net=net, vae=vae_cfg)
+    merged = jnp.asarray(
+        (image * 2 - 1).reshape(1, 1, RES, RES * 3), jnp.bfloat16)
+    cond = _prepare_latent_conditions(
+        w8, vae, [merged], tuple(k == "rgb" for k in cfg.condition_keys),
+        cfg)
+    b = 6  # sigmas spanning the schedule; 6x1024 tokens > 4096 = full-rank H
+    sig = edm_sigmas(15)[np.array([0, 3, 6, 9, 12, 14])]
+    sig5 = sig.reshape(b, 1, 1, 1, 1)
+    noise = jax.random.normal(jax.random.key(7),
+                              (b, *cond.shape[1:-1], cfg.net.in_channels),
+                              jnp.bfloat16)
+    x = scale_model_input(noise * sig5.astype(jnp.bfloat16), sig5,
+                          cfg.sigma_data)
+    stats = capture_dit_stats(
+        w8, cfg.net, x, sig.astype(jnp.bfloat16),
+        jnp.broadcast_to(cond, (b, *cond.shape[1:])),
+        jnp.zeros((b,), jnp.int32),
+        hessian_sites=("fa.qkv", "fa.wo", "mlp.w1"))
+    del w8
+    gc.collect()
+    time.sleep(20)
+    flat = {}
+    for kind in ("amean", "h", "count"):
+        for site, v in stats[kind].items():
+            flat[f"{kind}:{site}"] = v
+    np.savez(path, **flat)
+    print(f"calibration capture: {time.perf_counter()-t0:.1f}s "
+          f"(sites: {sorted(stats['h'])})", flush=True)
+    _CALIB = stats
+    return stats
 
 
 def _run_mode(mode):
-    path = os.path.join(CACHE, f"{mode}.npy")
+    path = os.path.join(CACHE, f"{mode.replace('+', '_P_')}.npy")
     if os.path.exists(path):
         print(f"{mode}: cached", flush=True)
         return np.load(path).astype(np.float32)
-    if mode == "bf16":
+    base, _, attn_suffix = mode.partition("+")
+    if base == "bf16":
         params = jax.tree.map(jnp.asarray, host_params)
     else:
-        params = _quantize_host(host_params, *parse_quant_mode(mode))
+        qm = parse_quant_mode(base)
+        calib = _calibration_stats() if qm.needs_calibration else None
+        t0 = time.perf_counter()
+        params = quantize_dit_params_host(host_params, qm, calib)
+        print(f"{mode}: quantize {time.perf_counter()-t0:.1f}s", flush=True)
     pipe = DiffusionRendererPipeline(params, vae, model_type="inverse",
-                                     num_steps=15)
+                                     num_steps=15,
+                                     net_config=net if TINY else None,
+                                     vae_config=vae_cfg if TINY else None)
+    if attn_suffix == "pv8":
+        pipe.sp_attn = "pallas_pv_int8"
+    elif attn_suffix:
+        raise ValueError(f"unknown attention suffix +{attn_suffix}")
     t0 = time.perf_counter()
     out = np.asarray(pipe.generate(batch(), seed=42))
     print(f"{mode}: {time.perf_counter()-t0:.1f}s out={out.shape}", flush=True)
@@ -129,4 +247,4 @@ for mode in modes:
     out = _run_mode(mode)
     p = psnr(ref, out, peak=255.0)
     print(f"PSNR_{mode.upper()}_VS_BF16_dB {p:.2f}  (full 7B, 512x512, "
-          f"15 steps, identical noise)", flush=True)
+          f"15 steps, identical noise, dist={DIST})", flush=True)

@@ -94,6 +94,58 @@ def test_resume_skips_completed_work(tmp_path, train_step):
     assert int(state.step) == 4
 
 
+def test_grad_accum_matches_manual_microbatching():
+    """grad_accum=N must equal: per-microbatch grads with fold_in(key, i)
+    keys, averaged, then ONE optimizer update — i.e. effective batch B at
+    the activation memory of B/N."""
+    import optax
+
+    from diffusionrenderer_tpu.training.train import edm_loss
+
+    # SGD, not adamw: adam's update is lr*g/(sqrt(g^2)+eps), which amplifies
+    # fp32 rounding differences between the scan-traced and directly-traced
+    # gradient without bound as g -> 0.  SGD is linear in the gradient, so
+    # the equivalence check is numerically meaningful.
+    opt = optax.sgd(0.1)
+    step_accum = jax.jit(make_train_step(CFG, opt, donate=False, grad_accum=2))
+    state = init_train_state(
+        init_dit_params(jax.random.key(0), CFG, dtype=jnp.float32), opt)
+    batch = _batch_fn(0)  # B=2 -> two microbatches of 1
+    key = jax.random.key(11)
+
+    got, loss_got = step_accum(state, batch, key)
+
+    def loss_fn(p, mb, k):
+        return edm_loss(p, mb["latents"], mb["latent_condition"],
+                        mb["context_index"], k, CFG)
+
+    losses, grads = [], []
+    for i in range(2):
+        mb = jax.tree.map(lambda x, i=i: x[i : i + 1], batch)
+        l, g = jax.value_and_grad(loss_fn)(
+            state.params, mb, jax.random.fold_in(key, i))
+        losses.append(l)
+        grads.append(g)
+    grads = jax.tree.map(lambda a, b: (a + b) / 2.0, *grads)
+    updates, _ = opt.update(grads, state.opt_state, state.params)
+    want_params = optax.apply_updates(state.params, updates)
+
+    np.testing.assert_allclose(
+        float(loss_got), float((losses[0] + losses[1]) / 2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(got.params),
+                    jax.tree_util.tree_leaves(want_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
+    assert int(got.step) == 1
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    step = make_train_step(CFG, make_optimizer(1e-3), donate=False,
+                           grad_accum=3)
+    with pytest.raises(Exception):  # trace-time assert: 2 % 3 != 0
+        jax.eval_shape(step, _make_state(), _batch_fn(0), jax.random.key(0))
+
+
 def test_no_ckpt_dir_runs_plain(train_step):
     state, losses = train_loop(
         _make_state, train_step, _batch_fn, num_steps=2, seed=3,
