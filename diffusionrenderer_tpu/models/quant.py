@@ -762,7 +762,16 @@ def _use_fused_kernel(x: jax.Array, w: Dict[str, jax.Array]) -> bool:
         if not pxla.thread_resources.env.physical_mesh.empty:
             # Under an active mesh (multi-chip generate): a pallas_call is
             # not auto-partitionable by SPMD — keep the XLA path, which
-            # partitions cleanly under the Megatron shardings.
+            # partitions cleanly under the Megatron shardings.  Memory is
+            # safe there even in the long-video regime that motivated this
+            # kernel: per-chip L shrinks with `seq`, and the deviceless
+            # v5e AOT memory_analysis (scripts/mem_w8a8_mesh.py, round 5)
+            # measured the 121-frame 56,320-token denoise at seq=8 at
+            # 1.40 GiB per-chip temp / 8.01 GiB peak(temp+args) for w8a8
+            # (2.25 / 9.03 GiB for w8a8_g128) vs 8.19 GiB temp single-chip
+            # (round 4) — comfortably inside a 16 GiB v5e.  Executability
+            # of this path is covered by the quantized sharded-generate
+            # leg in __graft_entry__.dryrun_multichip (max uint8 delta 0).
             return False
     except Exception:
         pass
