@@ -733,10 +733,18 @@ def quantize_dit_params_host(params: Dict[str, Any], mode,
 # Above this many tokens the XLA per-channel W8A8 path's L-sized int8/int32
 # temporaries become the single-chip OOM risk (measured round 2: +2.06 GiB
 # program temp at 56,320 tokens, which tipped the 121-frame job over HBM) —
-# the fused kernel keeps the int32 result in VMEM scratch.  Below it, XLA
-# per-channel measured FASTER than the kernel on-chip (round 4
-# scripts/bench_quant_matmul.py at M=28160: XLA 35.4 ms vs kernel-best
-# 39.9 ms at the MLP-up shape), so flagship per-channel stays on XLA.
+# the fused kernel keeps the int32 result in VMEM scratch.  Round 5 measured
+# the whole 33k-50k band (scripts/bench_quant_matmul.py at M = 33792, 39424,
+# 45056, 50688): there is NO time-crossover — XLA per-channel stays faster
+# at the MLP shapes everywhere in-band (kernel/xla 1.05-1.19x at MLP-up,
+# 0.93-1.08x at MLP-down; at the threshold itself, M=45056: 1.11x / 1.05x).
+# This constant is therefore a MEMORY boundary, not a perf crossover: it
+# sits above the largest time-preferred workload (flagship 28,160 tokens,
+# where XLA is ~13% faster and fits with >5 GiB to spare) and below the
+# regime where the XLA path's L-scaled temps tip the denoise program over
+# HBM next to the 6.74 GiB weights (56,320 tokens: 8.19 GiB temp, OOM).
+# Crossing at 45k pays a measured <=11% per-matmul time tax as OOM
+# insurance for the 45k-56k frame counts nobody has measured end-to-end.
 _KERNEL_MIN_TOKENS_PER_CHANNEL = 45_000
 
 
