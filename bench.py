@@ -126,6 +126,9 @@ def _init_bf16_build(cfg, key, dtype, quant=None):
     else:
         stq = lambda name, shape: st(shape)
     ones = lambda shape: jnp.ones(shape, dtype)
+    mix_n = 0
+    if quant:
+        mix_n = min(qm.mix_blocks, nb)
     params = {
         "x_embedder": {"weight": w((cfg.patch_dim, d))},
         "t_embedder": {"w1": w((d, d)), "w2": w((d, 3 * d))},
@@ -147,6 +150,35 @@ def _init_bf16_build(cfg, key, dtype, quant=None):
                                * cfg.out_channels))},
         "context_embedding": {"weight": w((16, ctx))},
     }
+    if mix_n:
+        # '_mixN' blockwise mixed precision: segment layout matches the
+        # boundary split (timing is segment-layout-invariant — same op mix).
+        half = (mix_n + 1) // 2
+
+        def seg(blocks, s, e, bf16):
+            def leaf(v):
+                if isinstance(v, dict):
+                    return {k: x[s:e] for k, x in v.items()}
+                return v[s:e]
+
+            out = {sub: {n_: leaf(v) for n_, v in blocks[sub].items()}
+                   for sub in blocks}
+            if bf16:
+                out = {sub: {n_: (jnp.zeros((e - s, *v["q"].shape[1:]),
+                                            dtype)
+                                  if isinstance(v, dict) else v)
+                             for n_, v in out[sub].items()}
+                       for sub in out}
+            return out
+
+        b = params["blocks"]
+        segs = []
+        if half:
+            segs.append(seg(b, 0, half, True))
+        segs.append(seg(b, half, nb - (mix_n - half), False))
+        if mix_n - half:
+            segs.append(seg(b, nb - (mix_n - half), nb, True))
+        params["blocks"] = tuple(segs)
     return params
 
 

@@ -205,6 +205,11 @@ def convert_dit_state_dict(
 def export_dit_state_dict(params: Params, cfg: DiTConfig) -> Dict[str, np.ndarray]:
     """Inverse of convert_dit_state_dict (JAX pytree -> reference-named
     numpy state dict), used for round-trip testing and interop export."""
+    if isinstance(params.get("blocks"), (tuple, list)):
+        raise ValueError(
+            "export_dit_state_dict: '_mixN' segmented (mixed-precision) "
+            "params cannot be exported to the reference torch layout — "
+            "export the unquantized source checkpoint instead")
     out: Dict[str, np.ndarray] = {}
 
     def put(name: str, arr, transpose=True):

@@ -422,10 +422,22 @@ def dit_forward(
     # to a pluggable executor — the pipeline-parallel scheduler plugs in
     # here, see parallel/pipeline_parallel.py).
     apply_block = make_block_apply(cfg, attn_backend, mlp_token_chunks)
+    # '_mixN' blockwise mixed precision (models/quant.py) delivers the
+    # blocks as a tuple of stacked segments (bf16 / int8 alternating in
+    # block order) — one lax.scan per segment keeps each scan's carry
+    # homogeneous.  The plain path is the 1-segment special case.
+    segments = (params["blocks"]
+                if isinstance(params["blocks"], (tuple, list))
+                else (params["blocks"],))
     if block_executor is not None:
+        if len(segments) != 1:
+            raise ValueError(
+                "block_executor (pipeline parallelism / calibration "
+                "capture) does not support '_mixN' segmented blocks — "
+                "use a uniform quant mode there")
         cos, sin = cos_sin
         tokens = block_executor(
-            params["blocks"], tokens, affline_emb, lora, context, cos, sin,
+            segments[0], tokens, affline_emb, lora, context, cos, sin,
             apply_block,
         )
     else:
@@ -435,7 +447,8 @@ def dit_forward(
                 y = seq_sharding_constraint(y)
             return y, None
 
-        tokens, _ = jax.lax.scan(block_fn, tokens, params["blocks"])
+        for seg in segments:
+            tokens, _ = jax.lax.scan(block_fn, tokens, seg)
 
     # 7. Final layer: 2-chunk AdaLN using the first 2D slice of the shared
     # lora vector (ref: CleanGeneralDIT.py:567-590).

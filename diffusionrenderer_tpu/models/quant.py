@@ -106,6 +106,7 @@ class QuantMode(NamedTuple):
     mse_clip: bool = False
     awq: bool = False
     gptq: bool = False
+    mix_blocks: int = 0
 
     @property
     def needs_calibration(self) -> bool:
@@ -336,6 +337,14 @@ def parse_quant_mode(mode: str) -> QuantMode:
             flags["awq"] = True
         elif p == "gptq":
             flags["gptq"] = True
+        elif p.startswith("mix") and p[3:].isdigit():
+            # '_mixN': the N transformer blocks with the highest measured
+            # quantization damage (Hessian-diagonal-weighted RTN error at
+            # the calibrated sites; boundary blocks without calibration)
+            # keep ALL their weights bf16 — the DiT runs them as separate
+            # bf16 lax.scan segments (models/dit.py).  Blockwise mixed
+            # precision: spends HBM where the damage is.
+            flags["mix_blocks"] = int(p[3:])
         else:
             raise ValueError(f"unknown mode suffix {p!r} in {mode}")
     return QuantMode(act_quant, group_size, tuple(sorted(keep)), **flags)
@@ -674,38 +683,104 @@ def quantize_leaf_host(w, mode: QuantMode, amean=None, hessian=None
     return leaf
 
 
-def quantize_dit_params_host(params: Dict[str, Any], mode,
-                             calib: Optional[Dict[str, Any]] = None,
-                             keep_bf16: Iterable[str] = ()) -> Dict[str, Any]:
-    """Host-side pytree quantization for any QuantMode (or mode string),
-    including the calibrated quantizers.  Non-quantized leaves are uploaded
-    as-is (jnp.asarray); use this instead of quantize_dit_params when the
-    params pytree lives on host (checkpoint conversion, the PSNR harness) —
-    the device has no room for bf16+int8 copies of the 7B weights.
+def _slice_stat(a, blk, nd: int):
+    """Per-block-range slice of a stat that may be stacked (nd+1 dims) or
+    shared (nd dims): nd=1 for amean (K,), nd=2 for hessian (K, K)."""
+    if a is None or blk is None:
+        return a
+    arr = np.asarray(a)
+    return arr[blk] if arr.ndim == nd + 1 else arr
 
-    calib: capture output of models/calibrate.capture_dit_stats —
-    {"amean": {site: (nb, K)}, "h": {site: (nb, K, K)}}.  Required for
-    awq/gptq modes (raises if a live quantized site has no stats)."""
+
+def mix_block_damage(params: Dict[str, Any], mode,
+                     calib: Optional[Dict[str, Any]] = None) -> np.ndarray:
+    """Per-block quantization damage estimate for '_mixN' block ranking.
+
+    For every live (non-kept) quantized site, computes the
+    calibration-weighted RTN error  Σ_k d_k · ‖ΔW_k‖²  per block, where
+    d_k = diag(H)_k when the site has a captured Hessian, amean_k² when it
+    has only mean|x| stats, and 1 otherwise (ΔW from plain RTN at the
+    mode's group size — a ranking proxy; GPTQ shrinks but preserves the
+    ordering of per-block damage).  Returns (nb,) float64."""
+    import torch
+
     if isinstance(mode, str):
         mode = parse_quant_mode(mode)
-    keep = set(keep_bf16) | set(mode.keep)
     calib = calib or {}
-    ameans = calib.get("amean", {})
-    hs = calib.get("h", {})
-    out = {k: (v if k == "blocks" else jax.tree.map(jnp.asarray, v))
-           for k, v in params.items()}
+    keep = set(mode.keep)
+    nb = None
+    damage = None
+    for sub, names in QUANTIZED_BLOCK_WEIGHTS.items():
+        for name in names:
+            if name in keep or f"{sub}.{name}" in keep:
+                continue
+            t = _to_torch_f32(params["blocks"][sub][name])
+            if t.ndim != 3:
+                continue
+            if nb is None:
+                nb = t.shape[0]
+                damage = np.zeros(nb, np.float64)
+            k = t.shape[-2]
+            gsz = mode.group_size if (mode.group_size
+                                      and k % mode.group_size == 0) else None
+            if gsz:
+                tg = t.reshape(nb, k // gsz, gsz, -1)
+                s = tg.abs().amax(dim=2, keepdim=True).clamp(min=1e-12) / 127
+                dq = torch.round(tg / s).clamp(-127, 127) * s
+                err2 = (dq - tg).pow_(2).reshape(nb, k, -1).sum(dim=-1)
+            else:
+                s = t.abs().amax(dim=1, keepdim=True).clamp(min=1e-12) / 127
+                dq = torch.round(t / s).clamp(-127, 127) * s
+                err2 = (dq - t).pow_(2).sum(dim=-1)  # (nb, K)
+            site = LEAF_SITE.get(f"{sub}.{name}")
+            h = calib.get("h", {}).get(site)
+            am = calib.get("amean", {}).get(site)
+            if h is not None:
+                ha = np.asarray(h)
+                d = (np.stack([np.diagonal(ha[i]) for i in range(nb)])
+                     if ha.ndim == 3 else
+                     np.broadcast_to(np.diagonal(ha), (nb, k)))
+            elif am is not None:
+                ama = np.asarray(am)
+                d = (ama if ama.ndim == 2
+                     else np.broadcast_to(ama, (nb, k))) ** 2
+            else:
+                d = np.ones((nb, k), np.float64)
+            damage += (err2.numpy().astype(np.float64) * d).sum(axis=-1)
+    if damage is None:
+        raise ValueError("mix mode: no live stacked quantized leaves")
+    return damage
+
+
+def _mix_bf16_set(params, mode, calib, nb: int) -> frozenset:
+    """Indices of the mix_blocks blocks that stay bf16: damage-ranked when
+    any calibration stats exist, boundary blocks (first/last) otherwise."""
+    n = min(mode.mix_blocks, nb)
+    if calib and (calib.get("h") or calib.get("amean")):
+        order = np.argsort(mix_block_damage(params, mode, calib))[::-1]
+        return frozenset(int(i) for i in order[:n])
+    half = (n + 1) // 2
+    return frozenset(range(half)) | frozenset(range(nb - (n - half), nb))
+
+
+def _quantize_block_stack(params, mode, keep, ameans, hs,
+                          blk: Optional[slice] = None) -> Dict[str, Any]:
+    """Quantize the stacked block weights (optionally a [start:stop) slice
+    of the block axis) per the QuantMode; bf16 leaves pass through."""
     blocks: Dict[str, Any] = {}
     for sub, names in QUANTIZED_BLOCK_WEIGHTS.items():
-        bp = {k: jnp.asarray(v) for k, v in params["blocks"][sub].items()
-              if k not in names}
+        bp = {k: jnp.asarray(v if blk is None else v[blk])
+              for k, v in params["blocks"][sub].items() if k not in names}
         for name in names:
             src = params["blocks"][sub][name]
+            if blk is not None and np.ndim(src) == 3:
+                src = src[blk]
             if name in keep or f"{sub}.{name}" in keep:
                 bp[name] = jnp.asarray(src)
                 continue
             site = LEAF_SITE.get(f"{sub}.{name}")
-            amean = ameans.get(site)
-            hess = hs.get(site) if mode.gptq else None
+            amean = _slice_stat(ameans.get(site), blk, 1)
+            hess = _slice_stat(hs.get(site), blk, 2) if mode.gptq else None
             if mode.needs_calibration and site is not None:
                 if mode.awq and amean is None:
                     raise ValueError(
@@ -726,7 +801,58 @@ def quantize_dit_params_host(params: Dict[str, Any], mode,
             bp[name] = quantize_leaf_host(src, mode, amean=amean,
                                           hessian=hess)
         blocks[sub] = bp
-    out["blocks"] = blocks
+    return blocks
+
+
+def _bf16_block_stack(params, blk: slice) -> Dict[str, Any]:
+    return {sub: {k: jnp.asarray(v[blk] if np.ndim(v) >= 1 else v)
+                  for k, v in params["blocks"][sub].items()}
+            for sub in params["blocks"]}
+
+
+def quantize_dit_params_host(params: Dict[str, Any], mode,
+                             calib: Optional[Dict[str, Any]] = None,
+                             keep_bf16: Iterable[str] = ()) -> Dict[str, Any]:
+    """Host-side pytree quantization for any QuantMode (or mode string),
+    including the calibrated quantizers.  Non-quantized leaves are uploaded
+    as-is (jnp.asarray); use this instead of quantize_dit_params when the
+    params pytree lives on host (checkpoint conversion, the PSNR harness) —
+    the device has no room for bf16+int8 copies of the 7B weights.
+
+    calib: capture output of models/calibrate.capture_dit_stats —
+    {"amean": {site: (nb, K)}, "h": {site: (nb, K, K)}}.  Required for
+    awq/gptq modes (raises if a live quantized site has no stats).
+
+    '_mixN' modes return params["blocks"] as a TUPLE of stacked segments
+    (bf16 segments for the N highest-damage blocks, quantized segments for
+    the rest, in block order) — dit_forward runs one lax.scan per segment;
+    the pipeline-parallel executor does not support mixed segments."""
+    if isinstance(mode, str):
+        mode = parse_quant_mode(mode)
+    keep = set(keep_bf16) | set(mode.keep)
+    calib = calib or {}
+    ameans = calib.get("amean", {})
+    hs = calib.get("h", {})
+    out = {k: (v if k == "blocks" else jax.tree.map(jnp.asarray, v))
+           for k, v in params.items()}
+    if mode.mix_blocks:
+        nb = jax.tree_util.tree_leaves(params["blocks"])[0].shape[0]
+        bf16_set = _mix_bf16_set(params, mode, calib, nb)
+        segs = []
+        start = 0
+        for b in range(nb + 1):
+            boundary = b == nb or ((b in bf16_set) != (start in bf16_set))
+            if not boundary:
+                continue
+            blk = slice(start, b)
+            segs.append(_bf16_block_stack(params, blk)
+                        if start in bf16_set else
+                        _quantize_block_stack(params, mode, keep, ameans,
+                                              hs, blk))
+            start = b
+        out["blocks"] = tuple(segs)
+        return out
+    out["blocks"] = _quantize_block_stack(params, mode, keep, ameans, hs)
     return out
 
 

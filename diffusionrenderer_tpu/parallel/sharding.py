@@ -91,8 +91,8 @@ def dit_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     # the production dims), so sharding them with K is exact.
     tvec_row = _ns(mesh, None, AXIS_TENSOR)  # (nb, K) row-sharded
 
-    def map_blocks(sub: str, name: str):
-        leaf = params["blocks"][sub][name]
+    def map_blocks(blocks, sub: str, name: str):
+        leaf = blocks[sub][name]
         quantized = isinstance(leaf, dict)  # {'q','s'|'sa',...} int8 leaves
         if quantized:
             grouped = (leaf["sa"] if "sa" in leaf else leaf["s"]).ndim == 3
@@ -114,14 +114,21 @@ def dit_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
             return row3
         return rep
 
+    def map_block_stack(blocks):
+        return {sub: {name: map_blocks(blocks, sub, name)
+                      for name in blocks[sub]}
+                for sub in blocks}
+
+    # '_mixN' mixed precision: blocks arrive as a tuple of stacked segments
+    # (models/quant.py) — every segment gets the same per-leaf specs.
+    blk = params["blocks"]
     out: Dict[str, Any] = {
         "x_embedder": {k: rep for k in params["x_embedder"]},
         "t_embedder": {k: rep for k in params["t_embedder"]},
         "affline_norm": {"weight": rep},
-        "blocks": {
-            sub: {name: map_blocks(sub, name) for name in params["blocks"][sub]}
-            for sub in params["blocks"]
-        },
+        "blocks": (tuple(map_block_stack(s) for s in blk)
+                   if isinstance(blk, (tuple, list))
+                   else map_block_stack(blk)),
         "final": {k: rep for k in params["final"]},
     }
     if "context_embedding" in params:
